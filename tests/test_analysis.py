@@ -1,0 +1,63 @@
+"""Analysis pipeline tests: tokenizer parity, stopword-before-clean order
+(SURVEY Appendix C-W10), Spark pandas_udf == pure-Python pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_based_search_engine_spark.config import AnalysisConfig
+from web_based_search_engine_spark.functions.analysis import (
+    analyze,
+    analyze_text_py,
+    tokenize,
+)
+from web_based_search_engine_spark.stopwords import STOPWORDS
+
+
+def test_tokenizer_split_and_blank_drop():
+    assert analyze_text_py("foo.bar baz", AnalysisConfig.raw()) == ["foo", "bar", "baz"]
+    # leading separator yields no empty token; '_'/'-' are kept by the split
+    assert analyze_text_py(".foo_bar hello-world!", AnalysisConfig.raw()) == [
+        "foo_bar",
+        "hello-world",
+    ]
+    assert analyze_text_py("", AnalysisConfig.raw()) == []
+    assert analyze_text_py(None, AnalysisConfig.raw()) == []
+
+
+def test_stopword_before_clean_order():
+    # "The" -> lowercased "the" is a stopword -> dropped;
+    # "the-" is NOT in the stoplist, stems (clean strips '-') to "the" -> kept
+    assert analyze_text_py("The the-") == ["the"]
+    # near-stopwords of code corpora are NOT stopwords (verified vs resource)
+    for w in ["self", "def", "return", "import", "class", "www"]:
+        assert w not in STOPWORDS
+        assert analyze_text_py(w) == [w]
+    for w in ["the", "do", "very", "if", "for", "while"]:
+        assert w in STOPWORDS
+
+
+def test_blank_stems_dropped_and_positions_compact():
+    # kilos stems to "" and is dropped; positions are post-filter offsets
+    assert analyze_text_py("kilos searching the engines") == ["search", "engin"]
+
+
+def test_spark_analyze_matches_python(spark):
+    texts = [
+        "The quick foo_bar, hello-world! kilos searching engines",
+        "Computational indexes; organisation ORGANIZATION running",
+        "self def return import class www the do very",
+        "", None, "x",
+        "microservice pseudocode WWW2024 ties does cats ss a-b",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for cfg in [AnalysisConfig.full(), AnalysisConfig.raw()]:
+        got = [r[0] for r in df.select(analyze("text", cfg)).collect()]
+        want = [analyze_text_py(t, cfg) for t in texts]
+        assert got == want, cfg
+
+
+def test_spark_tokenize_is_catalyst_only(spark):
+    df = spark.createDataFrame([("A b_c-d e.f",)], "text string")
+    plan = df.select(tokenize("text")).explain(mode="formatted")  # noqa: F841 smoke
+    assert [r[0] for r in df.select(tokenize("text")).collect()] == [["a", "b_c-d", "e", "f"]]

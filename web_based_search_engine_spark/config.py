@@ -1,0 +1,80 @@
+"""Engine configuration.
+
+Constants mirror the reference where semantics require parity
+(`App.java:22-24`, `InvertedIndex.java:21`, `SearchResult.java:12`) and
+BASELINE.json for the production BM25 scorer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# --- reference parity constants ---------------------------------------------
+TITLE_MATCH_MULTIPLIER = 0.9     # InvertedIndex.java:21 (0.9 title / 0.1 body)
+MAX_SEARCH_RESULTS = 50          # App.java:24, JavalinServer.java:70
+MAX_KEYWORD_COUNT = 5            # SearchResult.java:12
+TOKEN_SPLIT_REGEX = r"[^a-zA-Z0-9_-]+"   # Crawler.java:38,59
+
+# --- production scorer (BASELINE.json) --------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@dataclass(frozen=True)
+class AnalysisConfig:
+    """Text-analysis pipeline knobs.
+
+    The full reference pipeline (`Indexer.stemWord`, Indexer.java:65-75) is
+    lowercase -> stopword check (raw lowercased token) -> Porter-variant stem
+    -> drop blanks.  The *raw* config disables stop/stem so results stay
+    ANSI-SQL-expressible for the DuckDB oracle (FIXTURES.md F5).
+    """
+
+    lowercase: bool = True
+    remove_stopwords: bool = True
+    stem: bool = True
+
+    @staticmethod
+    def full() -> "AnalysisConfig":
+        return AnalysisConfig()
+
+    @staticmethod
+    def raw() -> "AnalysisConfig":
+        return AnalysisConfig(remove_stopwords=False, stem=False)
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Physical layout of the inverted index.
+
+    ``num_term_buckets`` is the partition count of the postings table
+    (partition pruning by ``pmod(xxhash64(term), buckets)`` at query time —
+    the Iceberg ``bucket(term_id, B)`` analog).  ``block_size`` is the
+    posting-block length for delta-gap + varint encoding and block-max WAND
+    metadata.  ``salt_buckets`` is the fan-out of the two-phase salted
+    aggregation used for hot-term df/tf (north_rule skew requirement).
+
+    Defaults are sized for local[32] test scale; at cluster scale raise
+    ``num_term_buckets`` so each bucket holds ~256-512 MB of postings and
+    keep ``block_size`` at 128 (one cache-line-ish skip unit).
+    """
+
+    num_term_buckets: int = 8
+    block_size: int = 128
+    salt_buckets: int = 8
+    analysis: AnalysisConfig = field(default_factory=AnalysisConfig.full)
+
+
+@dataclass(frozen=True)
+class ScoringConfig:
+    """Scorer selection: ``reference`` = tf·idf/tfMax cosine-normalized
+    formula of InvertedIndex.java:97-142 (golden-test conformance);
+    ``bm25`` = production BM25 (k1=1.2, b=0.75) per BASELINE.json, same
+    0.9/0.1 field weighting."""
+
+    scorer: str = "bm25"
+    k1: float = BM25_K1
+    b: float = BM25_B
+    title_weight: float = TITLE_MATCH_MULTIPLIER
+    top_k: int = MAX_SEARCH_RESULTS

@@ -1,0 +1,171 @@
+"""Deterministic test-fixture synthesis (FIXTURES.md F1/F2/F4).
+
+Everything is seeded; no wall-clock, no network.  The corpus schema matches
+BASELINE.json's input_hint: ``(repo, path, commit, lang, content)``; ``path``
+plays the reference's *title* field, ``content`` the *body* field
+(Crawler.java:42-63 / :23-40 analog).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+# Vocabulary mix per FIXTURES.md F1 (exercises stemmer branches, stopword
+# handling, clean() separator stripping, prefix stripping, hot-term skew).
+_CODE_IDENTS = [
+    "foo_bar", "hello-world", "get_value", "set_value", "parse_node",
+    "http_client", "read-only", "to_string", "index_builder", "merge_sort",
+]
+_ENGLISH = [
+    "agreed", "happy", "flies", "searching", "engines", "computational",
+    "indexes", "relational", "organisation", "organization", "running",
+    "traditional", "nationalism", "ability", "retrieval", "scoring",
+    "crawled", "stemming", "posting",
+]
+_EDGE = ["kilos", "microservice", "pseudocode", "ties", "does", "cats", "ss"]
+_STOP = ["the", "do", "very", "if", "for", "while", "a", "about"]
+_NEAR_STOP = ["self", "def", "return", "import", "class", "www"]
+_MIXED = ["WWW2024", "HTTPClient", "Sesame", "OpenGL2", "Base64"]
+
+_LANGS = ["py", "java", "md", "txt"]
+_PATH_STEMS = [
+    "src/util/string_helpers", "lib/index-builder", "src/core/query_planner",
+    "docs/design-notes", "src/io/file_reader", "tests/test_merge",
+    "src/net/http-client", "tools/bench_runner", "src/idx/posting_list",
+    "examples/quick-start",
+]
+
+
+def _zipf_vocab(rng: random.Random, n_rare: int) -> tuple[list[str], list[float]]:
+    vocab = _CODE_IDENTS + _ENGLISH + _EDGE + _STOP + _NEAR_STOP + _MIXED
+    vocab = vocab + [f"rare{i:04d}x" for i in range(n_rare)]
+    # Zipf(s ~= 1.1) rank-frequency: a few hot terms dominate (skew driver)
+    weights = [1.0 / (r + 1) ** 1.1 for r in range(len(vocab))]
+    return vocab, weights
+
+
+def corpus_rows(n_docs: int, seed: int = 42) -> list[tuple[str, str, str, str, str]]:
+    """F1 synthetic corpus, deterministic for (n_docs, seed)."""
+    rng = random.Random(seed)
+    vocab, weights = _zipf_vocab(rng, n_rare=max(32, n_docs // 8))
+    rows = []
+    dup_content: list[str] = []
+    for i in range(n_docs):
+        repo = f"org{i % 7}/proj{i % 23}"
+        stem = _PATH_STEMS[i % len(_PATH_STEMS)]
+        lang = _LANGS[i % len(_LANGS)]
+        path = f"{stem}_{i // len(_PATH_STEMS)}.{lang}"
+        rev = rng.randint(1, 3)
+        commit = hashlib.sha1(f"{repo}/{path}/{rev}".encode()).hexdigest()
+        if dup_content and i % 37 == 0:
+            # exact duplicate content across different (repo, path) rows:
+            # exercises sha256 invariant + identical-score doc_id tiebreak
+            content = rng.choice(dup_content)
+        else:
+            n_tok = rng.randint(8, 120)
+            content = " ".join(rng.choices(vocab, weights=weights, k=n_tok))
+            if i % 11 == 0:
+                dup_content.append(content)
+        rows.append((repo, path, commit, lang, content))
+    return rows
+
+
+def corpus_df(spark: SparkSession, n_docs: int = 2000, seed: int = 42,
+              num_partitions: int | None = None) -> DataFrame:
+    df = spark.createDataFrame(corpus_rows(n_docs, seed), CORPUS_SCHEMA)
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    return df
+
+
+# --- F2: 3-doc golden corpus (TestDocument.java:7-9) ------------------------
+# Terms t01..t12 are stem-stable non-stopwords; after dictionary encoding the
+# dense term ids map 1:1 onto the reference's pre-assigned ids 1..12.
+TESTDOC3 = [
+    # (doc_key, title_tokens, body_tokens)
+    ("doc1", ["t01", "t01", "t02", "t03"], []),
+    ("doc2", [], ["t04", "t04", "t05", "t06"]),
+    ("doc3", ["t07", "t08", "t09"], ["t10", "t11", "t12"]),
+]
+
+
+TOKENIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("title_terms", T.ArrayType(T.StringType(), False), False),
+        T.StructField("body_terms", T.ArrayType(T.StringType(), False), False),
+    ]
+)
+
+
+def testdoc3_tokens_df(spark: SparkSession) -> DataFrame:
+    """The golden 3-doc corpus as a pre-analyzed token table — mirrors the
+    reference test driving ``invertedIndex.addDocument(docId, titleIds,
+    bodyIds)`` directly (InvertedIndexTest.java:39-46).  ``path`` is the
+    doc key; doc2's title is genuinely empty."""
+    rows = []
+    for key, title_toks, body_toks in TESTDOC3:
+        rows.append(
+            (
+                "golden/repo",
+                key,
+                hashlib.sha1(key.encode()).hexdigest(),
+                "txt",
+                " ".join(body_toks),
+                title_toks,
+                body_toks,
+            )
+        )
+    return spark.createDataFrame(rows, TOKENIZED_SCHEMA)
+
+
+# Golden expectations (InvertedIndexTest.java:48-66): query terms {1,4,7,10},
+# reference-formula scorer; tolerance 1e-10.
+GOLDEN_QUERY_TERMS = ["t01", "t04", "t07", "t10"]
+GOLDEN_SCORES = {
+    "doc1": 0.7348469228349534294591852224117674175897842441970010385298,
+    "doc2": 0.0816496580927726032732428024901963797321982493552223376144,
+    "doc3": 0.4082482904638630163662140124509818986609912467761116880721,
+}
+
+# Phrase goldens (InvertedIndexTest.java:98-115): all match exactly {doc1}.
+GOLDEN_PHRASES = [
+    ["t01"], ["t01", "t01"], ["t01", "t01", "t02"], ["t01", "t01", "t02", "t03"],
+    ["t01", "t02"], ["t01", "t02", "t03"], ["t02"], ["t02", "t03"], ["t03"],
+]
+
+# --- F4: reference query set (exercises every query-path branch) ------------
+REFERENCE_QUERIES = {
+    "q01": "foo_bar",                       # hot term (Zipf head)
+    "q02": "rare0000x",                     # df~1 idf extreme
+    "q03": "searching engines retrieval",   # disjunctive sum-merge
+    "q04": "string_helpers",                # title/path-only term
+    "q05": "nationalism",                   # body-mostly term
+    "q06": "the do very",                   # stopword-only -> empty
+    "q07": "zzqqxx",                        # unseen term, df=0
+    "q08": "foo_bar foo_bar foo_bar",       # duplicate terms dedup
+    "q09": 'searching "engines retrieval"', # phrase + keywords (W4)
+    "q10": '"foo_bar foo_bar"',             # repeated-term phrase (W5)
+    "q11": '"retrieval engines"',           # reversed phrase (negative-ish)
+    "q12": '"string_helpers agreed"',       # cross-field phrase -> no match
+    "q13": "Hello-World FOO_BAR",           # tokenize/clean parity
+    "q14": "agreed happy flies searching engines running posting scoring cats does",  # broad
+}

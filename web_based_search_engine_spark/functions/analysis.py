@@ -1,0 +1,145 @@
+"""Text analysis: tokenize -> stopword filter -> Porter-variant stem.
+
+Parity targets (reference file:line):
+- tokenizer split regex ``[^a-zA-Z0-9_-]+``: Crawler.java:38,59
+- pipeline order lowercase -> stopword check on the *raw lowercased* token
+  -> stem -> drop blanks: Indexer.java:65-75 (SURVEY Appendix C-W10)
+- positions are 0-based offsets in the POST-filter token sequence, per
+  field: Indexer.java:117-140 feeds filtered lists into
+  PostingIndex.addDocument (PostingIndex.java:50-64)
+
+Design: tokenization without stemming is pure Catalyst (``F.split`` +
+``F.filter``); the stemming path is a vectorized Arrow ``pandas_udf`` that
+memoizes unique tokens per batch (the vocabulary is tiny relative to the
+token stream), plus a process-wide ``lru_cache`` inside the stemmer itself.
+No per-row Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from ..config import TOKEN_SPLIT_REGEX, AnalysisConfig
+from ..porter import strip_affixes
+from ..stopwords import STOPWORDS
+
+_SPLIT = re.compile(TOKEN_SPLIT_REGEX)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python pipeline (shared by the pandas oracle, query parsing, and the
+# pandas_udf below — single source of truth for the semantics).
+# ---------------------------------------------------------------------------
+
+def analyze_token(token: str, cfg: AnalysisConfig = AnalysisConfig.full()) -> str | None:
+    """Token -> final term, or None if dropped (stopword / blank stem)."""
+    t = token.lower() if cfg.lowercase else token
+    if cfg.remove_stopwords and t in STOPWORDS:
+        return None
+    if cfg.stem:
+        t = strip_affixes(t)
+    return t if t else None
+
+
+def analyze_text_py(text: str | None, cfg: AnalysisConfig = AnalysisConfig.full()) -> list[str]:
+    """Full per-field pipeline; output order defines token positions."""
+    if not text:
+        return []
+    out = []
+    for tok in _SPLIT.split(text):
+        if not tok:
+            continue
+        r = analyze_token(tok, cfg)
+        if r is not None:
+            out.append(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-side pipeline
+# ---------------------------------------------------------------------------
+
+def tokenize(col: Column | str, lowercase: bool = True) -> Column:
+    """Raw tokenization, pure Catalyst: split + drop empty tokens.
+
+    Matches Java ``String.split("[^a-zA-Z0-9_-]+")`` followed by the
+    pipeline's blank-drop (blank tokens never consume positions).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    toks = F.split(c, TOKEN_SPLIT_REGEX)
+    return F.filter(toks, lambda x: x != F.lit(""))
+
+
+def remove_stopwords(tokens: Column) -> Column:
+    """Catalyst-side stopword filter on an array column.  The literal IN
+    list compiles to an ``InSet`` hash lookup inside whole-stage codegen —
+    order and duplicates preserved (``array_except`` would dedup)."""
+    stop = sorted(STOPWORDS)
+    return F.filter(tokens, lambda x: ~x.isin(stop))
+
+
+def _make_analyze_udf(cfg: AnalysisConfig):
+    split_pat = TOKEN_SPLIT_REGEX
+    stop = STOPWORDS if cfg.remove_stopwords else frozenset()
+    do_stem = cfg.stem
+    do_lower = cfg.lowercase
+
+    def analyze_series(texts: pd.Series) -> pd.Series:
+        pat = re.compile(split_pat)
+        # per-batch memo over unique tokens — the hot path touches Python
+        # only once per distinct token, not once per occurrence
+        memo: dict[str, str | None] = {}
+
+        def one(text):
+            if not isinstance(text, str):  # None / NaN
+                return []
+            out = []
+            for tok in pat.split(text):
+                if not tok:
+                    continue
+                r = memo.get(tok, "\x00")
+                if r == "\x00":
+                    t = tok.lower() if do_lower else tok
+                    if t in stop:
+                        r = None
+                    else:
+                        t2 = strip_affixes(t) if do_stem else t
+                        r = t2 if t2 else None
+                    memo[tok] = r
+                if r is not None:
+                    out.append(r)
+            return out
+
+        return texts.map(one)
+
+    return F.pandas_udf(analyze_series, ArrayType(StringType()))
+
+
+_UDF_CACHE: dict[AnalysisConfig, object] = {}
+
+
+def analyze(col: Column | str, cfg: AnalysisConfig = AnalysisConfig.full()) -> Column:
+    """Text column -> array<string> of final index terms, position-ordered.
+
+    Uses pure Catalyst when no stemming is requested (raw config), else the
+    vectorized Arrow pandas_udf.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if not cfg.stem:
+        toks = tokenize(c, lowercase=cfg.lowercase)
+        if cfg.remove_stopwords:
+            toks = remove_stopwords(toks)
+        # null text -> empty token list (matches the Python pipeline)
+        return F.coalesce(toks, F.array().cast("array<string>"))
+    udf = _UDF_CACHE.get(cfg)
+    if udf is None:
+        udf = _make_analyze_udf(cfg)
+        _UDF_CACHE[cfg] = udf
+    return udf(c)

@@ -1,0 +1,64 @@
+"""Deterministic, scalable dense-id assignment.
+
+Replaces the reference's inherently sequential ``size()+1`` id scheme
+(WordIndexer.java:43-47, URLIndexer.java:44-48; SURVEY Appendix C-W1) with a
+two-phase bucketed rank:
+
+1. deterministic bucket: ``pmod(xxhash64(key...), B)``
+2. local ``row_number()`` within each bucket ordered by the natural key
+3. tiny driver-side cumulative offset per bucket (B rows), broadcast back
+
+id = offset[bucket] + local_rank.  Dense (1..N), deterministic for a given
+input set (independent of partitioning, task order, or sampling), and scales:
+the only shuffle is by the uniform hash bucket, each window sorts ~N/B rows,
+and the driver materializes only B counts.  Unlike a single global
+``row_number()`` window (one-partition bottleneck) this survives a 1000x
+scale-up; unlike ``monotonically_increasing_id`` it is stable across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Add dense 1-based ``id_col`` ordered by (bucket(key), key...).
+
+    ``df`` must be unique on ``key_cols`` (duplicate keys would get distinct
+    ids — call ``dropDuplicates`` first if needed).
+    """
+    bucket = F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int")
+    w = Window.partitionBy("_id_bucket").orderBy(*key_cols)
+    local = df.withColumn("_id_bucket", bucket).withColumn(
+        "_local_rank", F.row_number().over(w)
+    )
+    # Persist: the bucket-count pass and the final join both consume `local`;
+    # without this the upstream (tokenization at build time) would run twice.
+    # The build plan additionally materializes stage outputs to parquet, so
+    # at cluster scale this persist only needs to survive one stage pair.
+    local = local.persist()
+    counts = (
+        local.groupBy("_id_bucket").count().orderBy("_id_bucket").collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in counts:
+        offsets[row["_id_bucket"]] = acc
+        acc += row["count"]
+    spark = df.sparkSession
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, o) for b, o in offsets.items()], "_id_bucket int, _id_offset long"
+        )
+    )
+    return (
+        local.join(offsets_df, "_id_bucket")
+        .withColumn(id_col, (F.col("_id_offset") + F.col("_local_rank")).cast("long"))
+        .drop("_id_bucket", "_local_rank", "_id_offset")
+    )

@@ -1,0 +1,210 @@
+"""Index construction: tokenized corpus -> docs / vocab / postings / stats.
+
+Replaces the reference's per-document mutable KV updates
+(PostingIndex.addDocument, PostingIndex.java:40-85; InvertedIndex.updateTFMax,
+InvertedIndex.java:38-54; WordIndexer/URLIndexer id assignment) with one
+declarative dataflow:
+
+  corpus -> posexplode per field -> groupBy(doc, term, field) positions/tf
+         -> pivot fields -> dictionary-encode terms -> salted df agg
+         -> per-doc stats (tf_max, lengths, reference cosine norm)
+
+Shuffle budget (the whole build):
+  1. doc-id bucket shuffle (uniform hash, ids.py)
+  2. groupBy(doc_key, term) for postings      — THE big shuffle
+  3. term-id bucket shuffle over distinct terms (tiny: vocabulary)
+  4. term_id bucket repartition for storage layout
+Aggregations are map-side-combined by Tungsten hash agg; the df aggregation
+additionally uses explicit two-phase salting (north_rule hot-term skew
+requirement): groupBy(term, pmod(xxhash64(doc_id), S)) partial -> final sum.
+
+All position lists are 0-based offsets in the post-stop/stem token sequence
+per field (PostingIndex.java:50-64); tf == number of positions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import AnalysisConfig, IndexConfig
+from ..functions.analysis import analyze
+from .ids import assign_dense_ids
+
+DOC_KEY = ["repo", "path", "commit"]
+
+
+@dataclass
+class IndexFrames:
+    """Logical index tables (unmaterialized DataFrames)."""
+
+    docs: DataFrame      # doc_id, repo, path, commit, lang, sha256, title_len, body_len, tf_max, doc_norm
+    vocab: DataFrame     # term_id, term, df, cf, max_tf
+    postings: DataFrame  # term_id, doc_id, bucket, title_tf, body_tf, title_pos, body_pos
+    stats: DataFrame     # n_docs, avg_title_len, avg_body_len, avg_doc_len
+
+
+def prepare_corpus(corpus: DataFrame, cfg: AnalysisConfig | None = None) -> DataFrame:
+    """corpus(repo,path,commit,lang,content) -> + title_terms, body_terms, sha256.
+
+    The *title* field is the tokenized ``path`` (the reference's two-field
+    document model, Crawler.java:42-63); *body* is ``content``.  ``sha256``
+    preserves the per-row content invariant required by BASELINE.json.
+    """
+    cfg = cfg or AnalysisConfig.full()
+    return (
+        corpus.withColumn("title_terms", analyze("path", cfg))
+        .withColumn("body_terms", analyze("content", cfg))
+        .withColumn("sha256", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+    )
+
+
+def _field_tokens(prepared: DataFrame) -> DataFrame:
+    """Explode both fields into (doc key, term, field, pos) rows.
+
+    field: 0 = title, 1 = body (positions are per-field, W5/W12).
+    """
+    title = prepared.select(
+        *DOC_KEY,
+        F.posexplode("title_terms").alias("pos", "term"),
+    ).withColumn("field", F.lit(0))
+    body = prepared.select(
+        *DOC_KEY,
+        F.posexplode("body_terms").alias("pos", "term"),
+    ).withColumn("field", F.lit(1))
+    return title.unionByName(body)
+
+
+def build_index_frames(prepared: DataFrame, cfg: IndexConfig | None = None) -> IndexFrames:
+    """Build the logical index from a prepared (tokenized) corpus.
+
+    ``prepared`` must have columns DOC_KEY + lang + sha256 + title_terms +
+    body_terms (see :func:`prepare_corpus`; tests may hand-build token
+    arrays, mirroring InvertedIndexTest driving addDocument directly).
+    """
+    cfg = cfg or IndexConfig()
+
+    # ---- docs: deterministic dense doc ids + per-doc bookkeeping ----------
+    base = prepared.select(
+        *DOC_KEY,
+        "lang",
+        "sha256",
+        F.size("title_terms").cast("int").alias("title_len"),
+        F.size("body_terms").cast("int").alias("body_len"),
+        "title_terms",
+        "body_terms",
+    )
+    docs0 = assign_dense_ids(base, DOC_KEY, "doc_id", num_buckets=cfg.num_term_buckets * 32)
+
+    # ---- positional postings ---------------------------------------------
+    tokens = _field_tokens(docs0.select(*DOC_KEY, "title_terms", "body_terms"))
+    per_field = tokens.groupBy(*DOC_KEY, "term", "field").agg(
+        F.count("*").cast("int").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    # pivot title/body into columns; a (doc, term) appears in 1 or 2 fields
+    merged = per_field.groupBy(*DOC_KEY, "term").agg(
+        F.coalesce(F.max(F.when(F.col("field") == 0, F.col("tf"))), F.lit(0)).alias("title_tf"),
+        F.coalesce(F.max(F.when(F.col("field") == 1, F.col("tf"))), F.lit(0)).alias("body_tf"),
+        F.coalesce(
+            F.max(F.when(F.col("field") == 0, F.col("positions"))),
+            F.array().cast("array<int>"),
+        ).alias("title_pos"),
+        F.coalesce(
+            F.max(F.when(F.col("field") == 1, F.col("positions"))),
+            F.array().cast("array<int>"),
+        ).alias("body_pos"),
+    )
+
+    # ---- vocab: dictionary encoding + salted df/cf aggregation ------------
+    # df = docs containing the term in title OR body (PostingIndex.java:177-182)
+    # Explicit two-phase salting bounds any single reducer's rows for hot
+    # terms to ~df/S (north_rule requirement; AQE skew-join stays on as
+    # backstop).  cf = total occurrences; max_tf supports WAND upper bounds.
+    salted = merged.groupBy(
+        "term", F.pmod(F.xxhash64(*DOC_KEY), F.lit(cfg.salt_buckets)).alias("_salt")
+    ).agg(
+        F.count("*").alias("_df_part"),
+        F.sum(F.col("title_tf") + F.col("body_tf")).alias("_cf_part"),
+        F.max(F.col("title_tf") + F.col("body_tf")).alias("_max_tf_part"),
+    )
+    term_stats = salted.groupBy("term").agg(
+        F.sum("_df_part").cast("long").alias("df"),
+        F.sum("_cf_part").cast("long").alias("cf"),
+        F.max("_max_tf_part").cast("int").alias("max_tf"),
+    )
+    vocab = assign_dense_ids(term_stats, ["term"], "term_id", num_buckets=cfg.num_term_buckets * 4)
+    # carry the storage bucket in vocab so query-time partition pruning can
+    # push `bucket IN (...)` from a driver-side dictionary lookup
+    vocab = vocab.select(
+        "term_id",
+        "term",
+        "df",
+        "cf",
+        "max_tf",
+        F.pmod(F.xxhash64("term_id"), F.lit(cfg.num_term_buckets)).cast("int").alias("bucket"),
+    )
+
+    # ---- postings: encode term -> term_id, add storage bucket -------------
+    doc_ids = docs0.select(*DOC_KEY, "doc_id")
+    postings = (
+        merged.join(vocab.select("term_id", "term", "bucket"), "term")
+        .join(doc_ids, DOC_KEY)
+        .select("term_id", "doc_id", "bucket", "title_tf", "body_tf", "title_pos", "body_pos")
+    )
+
+    # ---- per-doc aggregates: tf_max + reference cosine norm ---------------
+    # tf_max = max_t (title_tf + body_tf)  (InvertedIndex.java:38-54)
+    tf_max = postings.groupBy("doc_id").agg(
+        F.max(F.col("title_tf") + F.col("body_tf")).cast("int").alias("tf_max")
+    )
+    docs1 = docs0.drop("title_terms", "body_terms").join(tf_max, "doc_id", "left").fillna(
+        {"tf_max": 0}
+    )
+
+    n_docs = docs0.count()
+    # ||d|| = sqrt(Σ_t ((titleTF+bodyTF)·idf_t / tfMax_d)²), UNWEIGHTED tf
+    # (InvertedIndex.java:69-95; numerator/denominator asymmetry is deliberate)
+    # no forced broadcast: at code-corpus scale the vocabulary (identifiers)
+    # can be 10^8+ terms; AQE picks broadcast automatically when it fits
+    with_idf = postings.join(vocab.select("term_id", "df"), "term_id")
+    norms = (
+        with_idf.join(tf_max, "doc_id")
+        .withColumn(
+            "_w",
+            (F.col("title_tf") + F.col("body_tf"))
+            * F.log10(F.lit(float(n_docs)) / F.col("df"))
+            / F.col("tf_max"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("doc_norm"))
+    )
+    docs = docs1.join(norms, "doc_id", "left").fillna({"doc_norm": 0.0})
+
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("title_len").alias("avg_title_len"),
+        F.avg("body_len").alias("avg_body_len"),
+        F.avg(F.col("title_len") + F.col("body_len")).alias("avg_doc_len"),
+    )
+
+    return IndexFrames(docs=docs, vocab=vocab, postings=postings, stats=stats)
+
+
+def forward_frame(postings: DataFrame) -> DataFrame:
+    """Forward index doc_id -> (term_ids, tfs), the map-5 analog
+    (InvertedIndex.java:17,33) — needed only for top-5-keywords display
+    (Indexer.java:196-203)."""
+    return postings.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("term_id"), (F.col("title_tf") + F.col("body_tf")).alias("tf")
+                    )
+                )
+            )
+        ).alias("term_tfs")
+    )

