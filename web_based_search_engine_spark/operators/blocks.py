@@ -1,0 +1,285 @@
+"""Compressed posting blocks: delta-gap + varint, with block-max BM25.
+
+The reference stores posting lists as Java-serialized ``List<Posting>``
+sorted by docId (PostingIndex.java:19-21,74-83).  The rebuild's storage
+format (north_star requirement) is per-term fixed-size blocks:
+
+  (bucket, term_id, block_id, count, first/last_doc_id, block_max_bm25,
+   doc_ids: delta-gap varint, title/body tfs: varint,
+   title/body positions: per-doc delta-gap varint + varint length list)
+
+``block_max_bm25`` is the max BM25 contribution of any posting in the block
+(computed Catalyst-side before encoding) — the skip metadata for block-max
+WAND pruning (operators/wand.py).  Encoding runs in ``applyInPandas`` over
+storage buckets after an in-group (term_id, doc_id) sort; everything inside
+is vectorized numpy — no per-row Python.
+
+The varint codecs are vectorized: encode does <=10 masked passes (one per
+byte position); decode segments the byte stream on terminator bytes
+(high bit clear) and reconstructs values with per-segment shifts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import IndexConfig, ScoringConfig
+from .scoring import bm25_term_score
+
+# ---------------------------------------------------------------------------
+# vectorized varint codec (LEB128, unsigned)
+# ---------------------------------------------------------------------------
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """uint64 array -> LEB128 bytes, vectorized (<=10 passes)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp = tmp >> np.uint64(7)
+    nbytes = np.maximum(nbits // 7, 1)
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    starts = ends - nbytes
+    # pass k writes byte k of every value that has >= k+1 bytes
+    max_b = int(nbytes.max())
+    for k in range(max_b):
+        mask = nbytes > k
+        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        idx = starts[mask] + k
+        cont = (nbytes[mask] - 1) > k  # continuation bit
+        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """LEB128 bytes -> uint64 array, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # shift of each byte = (index - start of its value) * 7
+    value_idx = np.cumsum(is_end) - is_end  # value number per byte
+    shifts = (np.arange(b.size) - starts[value_idx]).astype(np.uint64) * np.uint64(7)
+    contribs = (b & 0x7F).astype(np.uint64) << shifts
+    out = np.zeros(ends.size, dtype=np.uint64)
+    np.add.at(out, value_idx, contribs)
+    return out
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    v = np.asarray(sorted_vals, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    out[1:] = v[1:] - v[:-1]
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(deltas, dtype=np.uint64), dtype=np.uint64)
+
+
+def _encode_nested_positions(pos_lists: list) -> tuple[bytes, bytes]:
+    """list of per-doc sorted position lists -> (varint lengths, concatenated
+    per-doc delta-gap varint positions)."""
+    lens = np.fromiter((len(p) for p in pos_lists), dtype=np.uint64, count=len(pos_lists))
+    if lens.sum() == 0:
+        return varint_encode(lens), b""
+    deltas = np.concatenate(
+        [delta_encode(np.asarray(p, dtype=np.uint64)) for p in pos_lists if len(p)]
+    )
+    return varint_encode(lens), varint_encode(deltas)
+
+
+def _decode_nested_positions(lens_buf: bytes, pos_buf: bytes) -> list[np.ndarray]:
+    lens = varint_decode(lens_buf).astype(np.int64)
+    deltas = varint_decode(pos_buf)
+    out: list[np.ndarray] = []
+    off = 0
+    for n in lens:
+        if n == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+        else:
+            out.append(delta_decode(deltas[off : off + n]))
+            off += n
+    return out
+
+
+# ---------------------------------------------------------------------------
+# block table schema + encoder
+# ---------------------------------------------------------------------------
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("count", T.IntegerType(), False),
+        T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("last_doc_id", T.LongType(), False),
+        T.StructField("block_max_bm25", T.DoubleType(), False),
+        T.StructField("doc_ids", T.BinaryType(), False),
+        T.StructField("title_tfs", T.BinaryType(), False),
+        T.StructField("body_tfs", T.BinaryType(), False),
+        T.StructField("title_pos_lens", T.BinaryType(), False),
+        T.StructField("title_pos", T.BinaryType(), False),
+        T.StructField("body_pos_lens", T.BinaryType(), False),
+        T.StructField("body_pos", T.BinaryType(), False),
+    ]
+)
+
+
+def encode_blocks(
+    postings: DataFrame,
+    docs: DataFrame,
+    vocab: DataFrame,
+    stats: DataFrame,
+    cfg: IndexConfig | None = None,
+    scoring: ScoringConfig | None = None,
+) -> DataFrame:
+    """postings -> compressed block table (partitioned by bucket).
+
+    The BM25 per-posting score used for ``block_max_bm25`` is computed in
+    Catalyst (joins with docs/vocab for len/df) so the pandas stage only
+    sorts, chunks, and varint-packs.
+    """
+    cfg = cfg or IndexConfig()
+    scoring = scoring or ScoringConfig()
+    st = stats.collect()[0]
+    n_docs, avgdl = int(st["n_docs"]), float(st["avg_doc_len"] or 1.0)
+    block_size = cfg.block_size
+
+    enriched = (
+        postings.join(vocab.select("term_id", "df"), "term_id")
+        .join(
+            docs.select("doc_id", (F.col("title_len") + F.col("body_len")).alias("len_d")),
+            "doc_id",
+        )
+        .withColumn("bm25", bm25_term_score(n_docs, avgdl, scoring))
+        .select(
+            "bucket", "term_id", "doc_id", "title_tf", "body_tf",
+            "title_pos", "body_pos", "bm25",
+        )
+    )
+
+    def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term_id", "doc_id"], kind="mergesort")
+        rows = []
+        for term_id, g in pdf.groupby("term_id", sort=False):
+            n = len(g)
+            doc_ids = g["doc_id"].to_numpy(dtype=np.uint64)
+            title_tfs = g["title_tf"].to_numpy(dtype=np.uint64)
+            body_tfs = g["body_tf"].to_numpy(dtype=np.uint64)
+            bm25 = g["bm25"].to_numpy(dtype=np.float64)
+            tpos = g["title_pos"].tolist()
+            bpos = g["body_pos"].tolist()
+            bucket = int(g["bucket"].iloc[0])
+            for blk, lo in enumerate(range(0, n, block_size)):
+                hi = min(lo + block_size, n)
+                d = doc_ids[lo:hi]
+                tl, tp = _encode_nested_positions(tpos[lo:hi])
+                bl, bp = _encode_nested_positions(bpos[lo:hi])
+                rows.append(
+                    (
+                        bucket,
+                        int(term_id),
+                        blk,
+                        hi - lo,
+                        int(d[0]),
+                        int(d[-1]),
+                        float(bm25[lo:hi].max()),
+                        varint_encode(delta_encode(d)),
+                        varint_encode(title_tfs[lo:hi]),
+                        varint_encode(body_tfs[lo:hi]),
+                        tl,
+                        tp,
+                        bl,
+                        bp,
+                    )
+                )
+        return pd.DataFrame(
+            rows, columns=[f.name for f in BLOCKS_SCHEMA.fields]
+        )
+
+    return (
+        enriched.repartition(cfg.num_term_buckets, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(encode_bucket, BLOCKS_SCHEMA)
+    )
+
+
+def decode_blocks_pdf(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFrame:
+    """Block rows -> flat posting rows (numpy-vectorized per block).
+
+    Used by the WAND scorer (mapInPandas) and the roundtrip property test.
+    """
+    out_term, out_doc, out_ttf, out_btf = [], [], [], []
+    out_tpos, out_bpos = [], []
+    for row in pdf.itertuples(index=False):
+        d = delta_decode(varint_decode(row.doc_ids))
+        k = d.size
+        out_term.append(np.full(k, row.term_id, dtype=np.int64))
+        out_doc.append(d.astype(np.int64))
+        out_ttf.append(varint_decode(row.title_tfs).astype(np.int32))
+        out_btf.append(varint_decode(row.body_tfs).astype(np.int32))
+        if with_positions:
+            out_tpos.extend(
+                [p.astype(np.int32).tolist() for p in _decode_nested_positions(row.title_pos_lens, row.title_pos)]
+            )
+            out_bpos.extend(
+                [p.astype(np.int32).tolist() for p in _decode_nested_positions(row.body_pos_lens, row.body_pos)]
+            )
+    if not out_term:
+        cols = {"term_id": [], "doc_id": [], "title_tf": [], "body_tf": []}
+        if with_positions:
+            cols.update({"title_pos": [], "body_pos": []})
+        return pd.DataFrame(cols)
+    res = pd.DataFrame(
+        {
+            "term_id": np.concatenate(out_term),
+            "doc_id": np.concatenate(out_doc),
+            "title_tf": np.concatenate(out_ttf),
+            "body_tf": np.concatenate(out_btf),
+        }
+    )
+    if with_positions:
+        res["title_pos"] = out_tpos
+        res["body_pos"] = out_bpos
+    return res
+
+
+def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
+    """Distributed block decode -> postings-shaped DataFrame."""
+    if with_positions:
+        schema = (
+            "term_id long, doc_id long, title_tf int, body_tf int, "
+            "title_pos array<int>, body_pos array<int>"
+        )
+    else:
+        schema = "term_id long, doc_id long, title_tf int, body_tf int"
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf):
+                yield decode_blocks_pdf(pdf, with_positions)
+
+    return blocks.mapInPandas(gen, schema)

@@ -1,0 +1,73 @@
+"""Positional phrase matching: the adjacency merge of PostingIndex.java:184-247.
+
+Semantics preserved exactly (SURVEY #28-29, Appendix C-W5):
+- adjacency is WITHIN one field only (title track and body track are merged
+  separately and a doc survives if either is non-empty);
+- repeated-term phrases need truly consecutive positions (golden ``[1,1]``);
+- the fold over phrase terms is non-associative and stays a sequential left
+  fold (PostingIndex.java:242) — fine, phrases are short;
+- empty phrase -> empty doc set; any phrase term absent from the vocabulary
+  -> empty doc set (an unseen term has no postings);
+- phrase NEVER changes scores, it only filters (Indexer.java:270-276).
+
+Each fold step is a doc_id equi-join between the carried state and the next
+term's (partition-pruned) postings, with the position intersection computed
+by ``array_intersect(transform(prev, p -> p+1), cur)`` — all Catalyst, no
+UDFs; the per-term scans prune storage buckets just like the scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .scoring import lookup_terms
+
+
+def _term_postings(postings: DataFrame, term_row: dict) -> DataFrame:
+    p = postings
+    if "bucket" in p.columns and "bucket" in term_row:
+        p = p.where(F.col("bucket") == term_row["bucket"])
+    return p.where(F.col("term_id") == term_row["term_id"]).select(
+        "doc_id", "title_pos", "body_pos"
+    )
+
+
+def phrase_doc_ids(
+    postings: DataFrame,
+    vocab: DataFrame,
+    phrase_terms: list[str],
+) -> DataFrame:
+    """Docs containing ``phrase_terms`` adjacently -> DataFrame(doc_id).
+
+    ``phrase_terms`` are analyzed terms in phrase order (stop/stem already
+    applied by the query parser, Indexer.java:260-269).
+    """
+    spark = postings.sparkSession
+    empty = spark.createDataFrame([], "doc_id long")
+    if not phrase_terms:
+        return empty
+
+    by_term = {r["term"]: r for r in lookup_terms(vocab, phrase_terms)}
+    if any(t not in by_term for t in phrase_terms):
+        return empty
+
+    state = _term_postings(postings, by_term[phrase_terms[0]])
+    for term in phrase_terms[1:]:
+        cur = _term_postings(postings, by_term[term]).withColumnsRenamed(
+            {"title_pos": "_cur_title", "body_pos": "_cur_body"}
+        )
+        state = (
+            state.join(cur, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform("title_pos", lambda p: p + 1), F.col("_cur_title")
+                ).alias("title_pos"),
+                F.array_intersect(
+                    F.transform("body_pos", lambda p: p + 1), F.col("_cur_body")
+                ).alias("body_pos"),
+            )
+            .where((F.size("title_pos") > 0) | (F.size("body_pos") > 0))
+        )
+    return state.select("doc_id")

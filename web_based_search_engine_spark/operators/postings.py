@@ -2,24 +2,27 @@
 
 Replaces the reference's per-document mutable KV updates
 (PostingIndex.addDocument, PostingIndex.java:40-85; InvertedIndex.updateTFMax,
-InvertedIndex.java:38-54; WordIndexer/URLIndexer id assignment) with one
-declarative dataflow:
+InvertedIndex.java:38-54; WordIndexer/URLIndexer sequential id assignment)
+with one declarative dataflow:
 
-  corpus -> posexplode per field -> groupBy(doc, term, field) positions/tf
-         -> pivot fields -> dictionary-encode terms -> salted df agg
-         -> per-doc stats (tf_max, lengths, reference cosine norm)
+  corpus -> tokenize (Arrow UDF) -> dense doc ids -> posexplode per field
+         -> groupBy(doc_id, term, field) positions/tf -> pivot fields
+         -> dictionary-encode terms -> salted df agg -> per-doc stats
 
-Shuffle budget (the whole build):
+Shuffle budget for the whole build:
   1. doc-id bucket shuffle (uniform hash, ids.py)
-  2. groupBy(doc_key, term) for postings      — THE big shuffle
-  3. term-id bucket shuffle over distinct terms (tiny: vocabulary)
-  4. term_id bucket repartition for storage layout
-Aggregations are map-side-combined by Tungsten hash agg; the df aggregation
-additionally uses explicit two-phase salting (north_rule hot-term skew
-requirement): groupBy(term, pmod(xxhash64(doc_id), S)) partial -> final sum.
+  2. groupBy(doc_id, term) for positional postings   — THE big shuffle,
+     keyed on (long, string); map-side combined by Tungsten hash agg
+  3. term-stat shuffle over distinct terms (vocabulary-sized)
+  4. term_id bucket repartition for the storage layout
+The df aggregation uses explicit two-phase salting (north_rule hot-term
+skew requirement): groupBy(term, pmod(xxhash64(doc_id), S)) partial ->
+final sum; AQE skew handling stays on as a backstop.
 
-All position lists are 0-based offsets in the post-stop/stem token sequence
-per field (PostingIndex.java:50-64); tf == number of positions.
+Positions are 0-based offsets in the post-stop/stem token sequence per
+field (PostingIndex.java:50-64); tf == number of positions.  Each stage is
+a pure function of the previous one so the checkpointed builder
+(plans/build.py) can materialize and resume between them.
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ class IndexFrames:
     """Logical index tables (unmaterialized DataFrames)."""
 
     docs: DataFrame      # doc_id, repo, path, commit, lang, sha256, title_len, body_len, tf_max, doc_norm
-    vocab: DataFrame     # term_id, term, df, cf, max_tf
+    vocab: DataFrame     # term_id, term, df, cf, max_tf, bucket
     postings: DataFrame  # term_id, doc_id, bucket, title_tf, body_tf, title_pos, body_pos
     stats: DataFrame     # n_docs, avg_title_len, avg_body_len, avg_doc_len
 
@@ -61,32 +64,12 @@ def prepare_corpus(corpus: DataFrame, cfg: AnalysisConfig | None = None) -> Data
     )
 
 
-def _field_tokens(prepared: DataFrame) -> DataFrame:
-    """Explode both fields into (doc key, term, field, pos) rows.
+def with_doc_ids(prepared: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Tokenized corpus + deterministic dense ``doc_id`` (drops raw content).
 
-    field: 0 = title, 1 = body (positions are per-field, W5/W12).
-    """
-    title = prepared.select(
-        *DOC_KEY,
-        F.posexplode("title_terms").alias("pos", "term"),
-    ).withColumn("field", F.lit(0))
-    body = prepared.select(
-        *DOC_KEY,
-        F.posexplode("body_terms").alias("pos", "term"),
-    ).withColumn("field", F.lit(1))
-    return title.unionByName(body)
-
-
-def build_index_frames(prepared: DataFrame, cfg: IndexConfig | None = None) -> IndexFrames:
-    """Build the logical index from a prepared (tokenized) corpus.
-
-    ``prepared`` must have columns DOC_KEY + lang + sha256 + title_terms +
-    body_terms (see :func:`prepare_corpus`; tests may hand-build token
-    arrays, mirroring InvertedIndexTest driving addDocument directly).
-    """
-    cfg = cfg or IndexConfig()
-
-    # ---- docs: deterministic dense doc ids + per-doc bookkeeping ----------
+    ``prepared`` needs DOC_KEY + lang + sha256 + title_terms + body_terms
+    (tests may hand-build the token arrays, mirroring InvertedIndexTest
+    driving addDocument with explicit id lists)."""
     base = prepared.select(
         *DOC_KEY,
         "lang",
@@ -96,16 +79,30 @@ def build_index_frames(prepared: DataFrame, cfg: IndexConfig | None = None) -> I
         "title_terms",
         "body_terms",
     )
-    docs0 = assign_dense_ids(base, DOC_KEY, "doc_id", num_buckets=cfg.num_term_buckets * 32)
+    return assign_dense_ids(base, DOC_KEY, "doc_id", num_buckets=cfg.num_term_buckets * 32)
 
-    # ---- positional postings ---------------------------------------------
-    tokens = _field_tokens(docs0.select(*DOC_KEY, "title_terms", "body_terms"))
-    per_field = tokens.groupBy(*DOC_KEY, "term", "field").agg(
+
+def positional_postings(corpus_tok: DataFrame) -> DataFrame:
+    """Per-field posexplode + positional group-by + field pivot.
+
+    -> (doc_id, term, title_tf, body_tf, title_pos, body_pos); this is the
+    build's big shuffle (#16/#18).  A (doc, term) pair occurs in at most
+    two field groups, merged by the pivot aggregation (the reference's
+    duplicate-insert error, PostingIndex.java:74-83, cannot occur by
+    construction)."""
+    title = corpus_tok.select(
+        "doc_id", F.posexplode("title_terms").alias("pos", "term")
+    ).withColumn("field", F.lit(0))
+    body = corpus_tok.select(
+        "doc_id", F.posexplode("body_terms").alias("pos", "term")
+    ).withColumn("field", F.lit(1))
+    tokens = title.unionByName(body)
+
+    per_field = tokens.groupBy("doc_id", "term", "field").agg(
         F.count("*").cast("int").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
     )
-    # pivot title/body into columns; a (doc, term) appears in 1 or 2 fields
-    merged = per_field.groupBy(*DOC_KEY, "term").agg(
+    return per_field.groupBy("doc_id", "term").agg(
         F.coalesce(F.max(F.when(F.col("field") == 0, F.col("tf"))), F.lit(0)).alias("title_tf"),
         F.coalesce(F.max(F.when(F.col("field") == 1, F.col("tf"))), F.lit(0)).alias("body_tf"),
         F.coalesce(
@@ -118,13 +115,17 @@ def build_index_frames(prepared: DataFrame, cfg: IndexConfig | None = None) -> I
         ).alias("body_pos"),
     )
 
-    # ---- vocab: dictionary encoding + salted df/cf aggregation ------------
-    # df = docs containing the term in title OR body (PostingIndex.java:177-182)
-    # Explicit two-phase salting bounds any single reducer's rows for hot
-    # terms to ~df/S (north_rule requirement; AQE skew-join stays on as
-    # backstop).  cf = total occurrences; max_tf supports WAND upper bounds.
+
+def build_vocab(merged: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Dictionary encoding + df/cf/max_tf term statistics.
+
+    df = docs containing the term in title OR body (PostingIndex.java:177-182).
+    Explicit two-phase salting bounds any single reducer's rows for hot terms
+    to ~df/S (north_rule).  The storage ``bucket`` is carried in vocab so a
+    driver-side dictionary lookup can push partition pruning at query time.
+    """
     salted = merged.groupBy(
-        "term", F.pmod(F.xxhash64(*DOC_KEY), F.lit(cfg.salt_buckets)).alias("_salt")
+        "term", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets)).alias("_salt")
     ).agg(
         F.count("*").alias("_df_part"),
         F.sum(F.col("title_tf") + F.col("body_tf")).alias("_cf_part"),
@@ -135,10 +136,10 @@ def build_index_frames(prepared: DataFrame, cfg: IndexConfig | None = None) -> I
         F.sum("_cf_part").cast("long").alias("cf"),
         F.max("_max_tf_part").cast("int").alias("max_tf"),
     )
-    vocab = assign_dense_ids(term_stats, ["term"], "term_id", num_buckets=cfg.num_term_buckets * 4)
-    # carry the storage bucket in vocab so query-time partition pruning can
-    # push `bucket IN (...)` from a driver-side dictionary lookup
-    vocab = vocab.select(
+    vocab = assign_dense_ids(
+        term_stats, ["term"], "term_id", num_buckets=cfg.num_term_buckets * 4
+    )
+    return vocab.select(
         "term_id",
         "term",
         "df",
@@ -147,31 +148,31 @@ def build_index_frames(prepared: DataFrame, cfg: IndexConfig | None = None) -> I
         F.pmod(F.xxhash64("term_id"), F.lit(cfg.num_term_buckets)).cast("int").alias("bucket"),
     )
 
-    # ---- postings: encode term -> term_id, add storage bucket -------------
-    doc_ids = docs0.select(*DOC_KEY, "doc_id")
-    postings = (
-        merged.join(vocab.select("term_id", "term", "bucket"), "term")
-        .join(doc_ids, DOC_KEY)
-        .select("term_id", "doc_id", "bucket", "title_tf", "body_tf", "title_pos", "body_pos")
+
+def encode_postings(merged: DataFrame, vocab: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """term -> term_id + storage bucket; final posting rows."""
+    return merged.join(vocab.select("term_id", "term", "bucket"), "term").select(
+        "term_id", "doc_id", "bucket", "title_tf", "body_tf", "title_pos", "body_pos"
     )
 
-    # ---- per-doc aggregates: tf_max + reference cosine norm ---------------
-    # tf_max = max_t (title_tf + body_tf)  (InvertedIndex.java:38-54)
+
+def build_docs(
+    corpus_tok: DataFrame, postings: DataFrame, vocab: DataFrame, n_docs: int
+) -> DataFrame:
+    """Doc table with tf_max (InvertedIndex.java:38-54) and the reference
+    cosine norm ||d|| = sqrt(Σ_t ((titleTF+bodyTF)·idf_t / tfMax_d)²) —
+    UNWEIGHTED tf in the norm, the deliberate numerator/denominator
+    asymmetry of InvertedIndex.java:69-95.  Precomputed at build time (the
+    reference recomputed it per query per candidate — SURVEY §4.1
+    anti-pattern)."""
     tf_max = postings.groupBy("doc_id").agg(
         F.max(F.col("title_tf") + F.col("body_tf")).cast("int").alias("tf_max")
     )
-    docs1 = docs0.drop("title_terms", "body_terms").join(tf_max, "doc_id", "left").fillna(
-        {"tf_max": 0}
-    )
-
-    n_docs = docs0.count()
-    # ||d|| = sqrt(Σ_t ((titleTF+bodyTF)·idf_t / tfMax_d)²), UNWEIGHTED tf
-    # (InvertedIndex.java:69-95; numerator/denominator asymmetry is deliberate)
     # no forced broadcast: at code-corpus scale the vocabulary (identifiers)
     # can be 10^8+ terms; AQE picks broadcast automatically when it fits
-    with_idf = postings.join(vocab.select("term_id", "df"), "term_id")
     norms = (
-        with_idf.join(tf_max, "doc_id")
+        postings.join(vocab.select("term_id", "df"), "term_id")
+        .join(tf_max, "doc_id")
         .withColumn(
             "_w",
             (F.col("title_tf") + F.col("body_tf"))
@@ -181,29 +182,47 @@ def build_index_frames(prepared: DataFrame, cfg: IndexConfig | None = None) -> I
         .groupBy("doc_id")
         .agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("doc_norm"))
     )
-    docs = docs1.join(norms, "doc_id", "left").fillna({"doc_norm": 0.0})
+    return (
+        corpus_tok.drop("title_terms", "body_terms")
+        .join(tf_max, "doc_id", "left")
+        .join(norms, "doc_id", "left")
+        .fillna({"tf_max": 0, "doc_norm": 0.0})
+    )
 
-    stats = docs.agg(
+
+def build_stats(docs: DataFrame) -> DataFrame:
+    return docs.agg(
         F.count("*").alias("n_docs"),
         F.avg("title_len").alias("avg_title_len"),
         F.avg("body_len").alias("avg_body_len"),
         F.avg(F.col("title_len") + F.col("body_len")).alias("avg_doc_len"),
     )
 
+
+def build_index_frames(prepared: DataFrame, cfg: IndexConfig | None = None) -> IndexFrames:
+    """In-memory composition of all build stages (tests / small corpora).
+    The checkpointed builder in plans/build.py materializes between stages
+    instead."""
+    cfg = cfg or IndexConfig()
+    corpus_tok = with_doc_ids(prepared, cfg)
+    merged = positional_postings(corpus_tok)
+    vocab = build_vocab(merged, cfg)
+    postings = encode_postings(merged, vocab, cfg)
+    n_docs = corpus_tok.count()
+    docs = build_docs(corpus_tok, postings, vocab, n_docs)
+    stats = build_stats(docs)
     return IndexFrames(docs=docs, vocab=vocab, postings=postings, stats=stats)
 
 
 def forward_frame(postings: DataFrame) -> DataFrame:
-    """Forward index doc_id -> (term_ids, tfs), the map-5 analog
-    (InvertedIndex.java:17,33) — needed only for top-5-keywords display
-    (Indexer.java:196-203)."""
+    """Forward index doc_id -> sorted (term_id, tf) entries, the map-5
+    analog (InvertedIndex.java:17,33) — feeds top-5-keywords display
+    (Indexer.java:196-203, SearchResult.java:33-44)."""
     return postings.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("term_id"), (F.col("title_tf") + F.col("body_tf")).alias("tf")
-                    )
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("term_id"), (F.col("title_tf") + F.col("body_tf")).alias("tf")
                 )
             )
         ).alias("term_tfs")

@@ -83,12 +83,12 @@ def score_query_terms(
         return spark.createDataFrame([], "doc_id long, score double")
 
     term_ids = [r["term_id"] for r in qt]
-    buckets = None
-    if "bucket" in postings.columns:
-        buckets = sorted({r["bucket"] for r in postings.sparkSession.createDataFrame([], "x int").select().columns}) if False else None
     cand = postings.where(F.col("term_id").isin(term_ids))
-    if "bucket" in postings.columns:
-        import zlib  # noqa: F401  (bucket values derive from xxhash64; compute via vocab rows below)
+    if "bucket" in postings.columns and all("bucket" in r for r in qt):
+        # partition pruning: bucket is the storage partition column; the IN
+        # list comes from the driver-side vocab lookup, so only the query
+        # terms' partitions are read at all
+        cand = cand.where(F.col("bucket").isin(sorted({r["bucket"] for r in qt})))
 
     # df lookup: tiny (|query| rows) -> broadcast literal join
     df_map = spark.createDataFrame(

@@ -1,0 +1,123 @@
+"""Block-max WAND top-k over the compressed block index.
+
+Distributed adaptation of block-max WAND (Ding & Suel 2011) that keeps the
+pruning *lossless* without doc-at-a-time cursor alignment (which doesn't map
+onto a shared-nothing scan):
+
+1. threshold pass: decode only the single highest-``block_max`` block per
+   query term, score those docs (partial sums), and take the k-th best as
+   the initial threshold tau.  Every partial sum is <= the doc's true
+   score, so tau <= the true k-th best score.
+2. prune: a block (t, b) is skipped iff
+       block_max(t, b) + sum_{t' != t} global_max(t')  <  tau
+   For any doc d in a skipped block, d's full score <= that upper bound
+   < tau <= true k-th score, so d cannot enter the top-k.  Conversely a
+   doc whose true score >= tau has every one of its blocks kept (each
+   upper bound >= its full score), so it is scored exactly.  Docs partially
+   pruned score low and are cut by the final top-k — never wrongly ranked
+   into it.  Hence WAND == exhaustive on the top-k set (property-tested).
+3. decode surviving blocks (mapInPandas, numpy varint) -> per-posting BM25
+   -> groupBy(doc_id).sum -> deterministic top-k.
+
+Upper bounds hold only for the additive BM25 scorer (the reference scorer's
+cosine normalization breaks additivity), so WAND is bm25-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..config import ScoringConfig
+from . import blocks as B
+from .scoring import bm25_term_score, lookup_terms, top_k
+
+
+def _score_decoded(
+    decoded: DataFrame,
+    docs: DataFrame,
+    df_map: DataFrame,
+    n_docs: int,
+    avg_doc_len: float,
+    cfg: ScoringConfig,
+) -> DataFrame:
+    cand = decoded.join(F.broadcast(df_map), "term_id").join(
+        docs.select("doc_id", (F.col("title_len") + F.col("body_len")).alias("len_d")),
+        "doc_id",
+    )
+    return (
+        cand.withColumn("_partial", bm25_term_score(n_docs, avg_doc_len, cfg))
+        .groupBy("doc_id")
+        .agg(F.sum("_partial").alias("score"))
+    )
+
+
+def wand_top_k(
+    blocks: DataFrame,
+    docs: DataFrame,
+    vocab: DataFrame,
+    terms: list[str],
+    n_docs: int,
+    avg_doc_len: float,
+    cfg: ScoringConfig | None = None,
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k (doc_id, score) for a disjunctive BM25 query over the block
+    index.  ``prune=False`` gives the exhaustive scorer over the same
+    decode path (the equivalence oracle for tests)."""
+    cfg = cfg or ScoringConfig()
+    assert cfg.scorer == "bm25", "WAND upper bounds require the additive BM25 scorer"
+    spark = blocks.sparkSession
+    qt = lookup_terms(vocab, terms)
+    if not qt:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    term_ids = [r["term_id"] for r in qt]
+    buckets = sorted({r["bucket"] for r in qt})
+    cand = blocks.where(F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids))
+    df_map = spark.createDataFrame(
+        [(r["term_id"], r["df"]) for r in qt], "term_id long, df long"
+    )
+
+    if not prune:
+        return top_k(
+            _score_decoded(B.decode_blocks(cand), docs, df_map, n_docs, avg_doc_len, cfg),
+            cfg.top_k,
+        )
+
+    # persist: the threshold pass, the gmax agg, and the final pruned scan
+    # all read the same pruned block set.  Not unpersisted here — the
+    # returned DataFrame is lazy and still references it (LRU-evicted).
+    cand = cand.persist()
+    # per-term global max of block_max (|q| rows)
+    gmax_rows = (
+        cand.groupBy("term_id").agg(F.max("block_max_bm25").alias("gmax")).collect()
+    )
+    gmax = {r["term_id"]: r["gmax"] for r in gmax_rows}
+    total_gmax = sum(gmax.values())
+
+    # threshold pass: best block per term only
+    w = Window.partitionBy("term_id").orderBy(F.desc("block_max_bm25"), "block_id")
+    best_blocks = cand.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    seed_scores = _score_decoded(
+        B.decode_blocks(best_blocks.drop("_rn")), docs, df_map, n_docs, avg_doc_len, cfg
+    )
+    kth = (
+        seed_scores.orderBy(F.desc("score")).limit(cfg.top_k).collect()
+    )
+    tau = kth[-1]["score"] if len(kth) >= cfg.top_k else 0.0
+
+    # lossless block pruning against tau
+    other_max = F.create_map(
+        *[x for tid in term_ids for x in (F.lit(tid), F.lit(total_gmax - gmax[tid]))]
+    )
+    keep = cand.where(
+        F.col("block_max_bm25") + other_max[F.col("term_id")] >= F.lit(tau)
+    )
+    scored = _score_decoded(
+        B.decode_blocks(keep), docs, df_map, n_docs, avg_doc_len, cfg
+    )
+    return top_k(scored, cfg.top_k)

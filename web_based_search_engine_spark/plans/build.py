@@ -1,0 +1,117 @@
+"""Checkpointed, resumable index build (EP1 rebuild lifecycle, SURVEY §3).
+
+Stages (each materialized + manifest-committed; a resumed build skips every
+completed stage — north_rule checkpoint/lineage requirement, FIXTURES.md F6):
+
+  1. corpus_tok   tokenize (Arrow UDF) + sha256 + dense doc ids
+  2. postings_raw positional group-by (doc_id, term) — the big shuffle
+  3. vocab        salted term stats + dense term ids
+  4. postings     term-id encoding, bucketed layout (partition column)
+  5. docs         tf_max + reference cosine norm
+  6. stats        corpus aggregates (N, avgdl)
+  7. forward      doc -> (term, tf) list for top-5-keyword display
+  8. blocks       delta-gap + varint compressed posting blocks + block-max
+
+Incremental upsert (freshness semantics of Indexer.isFreshDocument,
+Appendix C-W8) lives in streaming/incremental.py and re-enters this builder
+with only changed docs' partitions invalidated.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import IndexConfig
+from ..operators import blocks as B
+from ..operators import postings as P
+from ..sources.catalog import ParquetIndexStorage
+
+STAGES = [
+    "corpus_tok",
+    "postings_raw",
+    "vocab",
+    "postings",
+    "docs",
+    "stats",
+    "forward",
+    "blocks",
+]
+
+
+@dataclass
+class BuildReport:
+    stages_run: list[str]
+    stages_skipped: list[str]
+    seconds: float
+    n_docs: int
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        spark: SparkSession,
+        storage: ParquetIndexStorage,
+        cfg: IndexConfig | None = None,
+    ):
+        self.spark = spark
+        self.storage = storage
+        self.cfg = cfg or IndexConfig()
+
+    def _read(self, name: str) -> DataFrame:
+        return self.storage.read_table(self.spark, name)
+
+    def build(self, corpus: DataFrame, resume: bool = True) -> BuildReport:
+        t0 = time.time()
+        run: list[str] = []
+        skipped: list[str] = []
+        st = self.storage
+        cfg = self.cfg
+
+        def do(stage: str, fn, partition_by=None):
+            if resume and st.stage_done(stage):
+                skipped.append(stage)
+                return
+            df = fn()
+            st.write_table(df, stage, partition_by=partition_by, stage=stage)
+            run.append(stage)
+
+        do(
+            "corpus_tok",
+            lambda: P.with_doc_ids(P.prepare_corpus(corpus, cfg.analysis), cfg),
+        )
+        do("postings_raw", lambda: P.positional_postings(self._read("corpus_tok")))
+        do("vocab", lambda: P.build_vocab(self._read("postings_raw"), cfg))
+        do(
+            "postings",
+            lambda: P.encode_postings(self._read("postings_raw"), self._read("vocab"), cfg),
+            partition_by=["bucket"],
+        )
+        n_docs = self.storage.table_meta("corpus_tok")["rows"]
+        do(
+            "docs",
+            lambda: P.build_docs(
+                self._read("corpus_tok"), self._read("postings"), self._read("vocab"), n_docs
+            ),
+        )
+        do("stats", lambda: P.build_stats(self._read("docs")))
+        do("forward", lambda: P.forward_frame(self._read("postings")))
+        do(
+            "blocks",
+            lambda: B.encode_blocks(
+                self._read("postings"),
+                self._read("docs"),
+                self._read("vocab"),
+                self._read("stats"),
+                cfg,
+            ),
+            partition_by=["bucket"],
+        )
+        return BuildReport(
+            stages_run=run,
+            stages_skipped=skipped,
+            seconds=time.time() - t0,
+            n_docs=n_docs,
+        )

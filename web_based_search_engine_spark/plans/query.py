@@ -1,0 +1,182 @@
+"""Query engine over the stored index (EP2/EP3 rebuild lifecycle, SURVEY §3).
+
+Pipeline: parse -> stem/encode (driver-side, read-only dictionary lookup;
+fixes Appendix C-W2) -> partition-pruned posting scan -> score (BM25 WAND
+over compressed blocks, or Catalyst scoring over columnar postings) ->
+phrase semi-join filter (scores unchanged — filter only,
+Indexer.java:270-276) -> deterministic top-k -> result assembly joins.
+
+The reference assembled full SearchResults for every matching doc and
+limited afterwards (JavalinServer.java:67-74); the rebuild takes top-k
+first and assembles <=50 rows via broadcast joins (SURVEY §3 EP2 note).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import MAX_KEYWORD_COUNT, AnalysisConfig, ScoringConfig
+from ..functions.analysis import analyze_text_py
+from ..operators import wand as W
+from ..operators.phrase import phrase_doc_ids
+from ..operators.scoring import score_query_terms, top_k
+from ..sources.catalog import ParquetIndexStorage
+
+# Greedy first "(.*)" group, at most one phrase; quoted words also count as
+# keywords because '"' is a tokenizer splitter (JavalinServer.java:48-61,
+# Appendix C-W3/W4) — both warts replicated for parity.
+_PHRASE_RE = re.compile(r'"(.*)"')
+
+
+@dataclass
+class ParsedQuery:
+    keywords: list[str]   # analyzed, deduped (set semantics, App.java:33)
+    phrase: list[str]     # analyzed, ordered; empty if no quoted phrase
+
+
+def parse_query(query: str, cfg: AnalysisConfig | None = None) -> ParsedQuery:
+    cfg = cfg or AnalysisConfig.full()
+    keywords = analyze_text_py(query, cfg)
+    # dedup preserving first-seen order (deterministic scoring input)
+    seen: dict[str, None] = dict.fromkeys(keywords)
+    m = _PHRASE_RE.search(query)
+    phrase = analyze_text_py(m.group(1), cfg) if m else []
+    return ParsedQuery(keywords=list(seen), phrase=phrase)
+
+
+class QueryEngine:
+    """Loads the stored index once; each search is a handful of small jobs.
+
+    ``mode``: "columnar" scores the uncompressed postings table with pure
+    Catalyst expressions; "blocks" decodes delta-gap+varint blocks with
+    block-max WAND pruning (bm25 only) — the 100TB-scale path.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        storage: ParquetIndexStorage,
+        scoring: ScoringConfig | None = None,
+        mode: str = "blocks",
+        analysis: AnalysisConfig | None = None,
+    ):
+        self.spark = spark
+        self.storage = storage
+        self.scoring = scoring or ScoringConfig()
+        self.analysis = analysis or AnalysisConfig.full()
+        self.mode = mode
+        self.docs = storage.read_table(spark, "docs")
+        self.vocab = storage.read_table(spark, "vocab")
+        self.postings = storage.read_table(spark, "postings")
+        self.blocks = (
+            storage.read_table(spark, "blocks") if storage.has_table("blocks") else None
+        )
+        self.forward = (
+            storage.read_table(spark, "forward") if storage.has_table("forward") else None
+        )
+        st = storage.read_table(spark, "stats").collect()[0]
+        self.n_docs = int(st["n_docs"])
+        self.avg_doc_len = float(st["avg_doc_len"] or 1.0)
+
+    # ------------------------------------------------------------------ api
+    def search(self, query: str, k: int | None = None, assemble: bool = True) -> DataFrame:
+        """Free-text search; supports one quoted phrase (EP2)."""
+        pq = parse_query(query, self.analysis)
+        return self.search_terms(pq.keywords, pq.phrase, k=k, assemble=assemble)
+
+    def phrase_search(self, words: list[str], k: int | None = None,
+                      assemble: bool = True) -> DataFrame:
+        """EP3 parity: score by the phrase's words disjunctively, then
+        require adjacency (App.java:41-48)."""
+        analyzed = [t for w in words for t in analyze_text_py(w, self.analysis)]
+        return self.search_terms(
+            list(dict.fromkeys(analyzed)), analyzed, k=k, assemble=assemble
+        )
+
+    def search_terms(
+        self,
+        terms: list[str],
+        phrase: list[str] | None = None,
+        k: int | None = None,
+        assemble: bool = True,
+    ) -> DataFrame:
+        k = k or self.scoring.top_k
+        scored = self._score(terms)
+        if phrase:
+            # semi-join filter BEFORE top-k: phrase never changes scores
+            scored = scored.join(
+                phrase_doc_ids(self.postings, self.vocab, phrase), "doc_id", "left_semi"
+            )
+        result = top_k(scored, k)
+        return self._assemble(result) if assemble else result
+
+    # ------------------------------------------------------------ internals
+    def _score(self, terms: list[str]) -> DataFrame:
+        if self.mode == "blocks" and self.blocks is not None and self.scoring.scorer == "bm25":
+            # wand_top_k prunes and limits internally; re-limit happens in
+            # search_terms (idempotent on an already-top-k frame)
+            return W.wand_top_k(
+                self.blocks, self.docs, self.vocab, terms,
+                self.n_docs, self.avg_doc_len, self.scoring,
+            )
+        return score_query_terms(
+            self.postings, self.docs, self.vocab, terms,
+            self.n_docs, self.avg_doc_len, self.scoring,
+        )
+
+    def _assemble(self, topk: DataFrame) -> DataFrame:
+        """Result assembly (#31): <=k rows, broadcast joins only.
+
+        Columns mirror SearchResult.java: rank metadata, doc identity,
+        title/len metadata, and the top-5 keywords with frequencies
+        (SearchResult.java:33-44; deterministic tiebreak term_id asc)."""
+        # broadcast the <=k result side, stream the docs table past it
+        out = self.docs.select(
+            "doc_id", "repo", "path", "commit", "lang",
+            "title_len", "body_len", "sha256",
+        ).join(F.broadcast(topk), "doc_id")
+        if self.forward is not None:
+            # top-5 keywords: sort struct(tf desc, term_id asc), slice 5
+            kw = self.forward.select(
+                "doc_id",
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            F.transform(
+                                "term_tfs",
+                                lambda s: F.struct(
+                                    s["tf"].alias("tf"), (-s["term_id"]).alias("neg_id")
+                                ),
+                            )
+                        )
+                    ),
+                    1,
+                    MAX_KEYWORD_COUNT,
+                ).alias("_top"),
+            ).select(
+                "doc_id",
+                F.transform(
+                    "_top",
+                    lambda s: F.struct(
+                        (-s["neg_id"]).cast("long").alias("term_id"), s["tf"].alias("tf")
+                    ),
+                ).alias("_top"),
+            )
+            exploded = (
+                topk.select("doc_id").join(kw, "doc_id")
+                .select("doc_id", F.explode("_top").alias("kwent"))
+                .select("doc_id", F.col("kwent.term_id").alias("term_id"), F.col("kwent.tf").alias("tf"))
+                .join(self.vocab.select("term_id", "term"), "term_id")
+                .groupBy("doc_id")
+                .agg(
+                    F.reverse(
+                        F.array_sort(F.collect_list(F.struct("tf", "term")))
+                    ).alias("keywords")
+                )
+            )
+            out = out.join(exploded, "doc_id", "left")
+        return out.orderBy(F.desc("score"), F.asc("doc_id"))
