@@ -1,38 +1,457 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Query catalog (driver `documents` view: doc_id, text, lang, source,
+n_chars; `embeddings`: vec_id, embedding float[], label).  Per FIXTURES.md
+F5 the SQL-expressible checks use RAW analysis (lowercase tokenize on
+``[^a-z0-9_-]+``, no stemming — stemming is not ANSI-SQL-expressible);
+stemming-dependent queries are engine-only rows checks covered by the
+pytest oracles.  Float columns are rounded to 6 dp on BOTH sides and every
+computed column is aliased identically.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from web_based_search_engine_spark.config import AnalysisConfig, IndexConfig, ScoringConfig
+from web_based_search_engine_spark.functions import textstats as TS
+from web_based_search_engine_spark.functions.analysis import analyze, analyze_text_py
+from web_based_search_engine_spark.operators import adhoc as A
+from web_based_search_engine_spark.operators import dedup as D
+from web_based_search_engine_spark.operators import postings as P
+from web_based_search_engine_spark.operators import scoring as S
+from web_based_search_engine_spark.operators import similarity as SIM
+
+RAW = AnalysisConfig.raw()
+
+BM25_TERMS = ["merge", "scan", "join"]
+PHRASE = ("table", "scan")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _raw_tokens_col():
+    return analyze("text", RAW)
+
+
+# --------------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full engine (stemmed analysis -> dense ids -> positional
+    postings -> vocab/stats -> BM25) over sf0.001 documents mapped into the
+    corpus schema; returns the assembled top-50 for a multi-term query."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    corpus = docs.select(
+        F.lit("testdata").alias("repo"),
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("path"),
+        F.col("doc_id").cast("string").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    frames = P.build_index_frames(P.prepare_corpus(corpus), IndexConfig(num_term_buckets=4))
+    st = frames.stats.collect()[0]
+    terms = [t for w in ["merge", "scanning", "joined", "tables"] for t in analyze_text_py(w)]
+    scored = S.score_query_terms(
+        frames.postings, frames.docs, frames.vocab, terms,
+        st["n_docs"], st["avg_doc_len"], ScoringConfig(scorer="bm25"),
+    )
+    topk = S.top_k(scored, 50)
+    return topk.join(frames.docs.select("doc_id", "repo", "path", "lang", "sha256"), "doc_id")
+
+
+# ------------------------------------------------------------------- queries
+
+def _q_tf(spark, sf_dir):
+    return A.term_frequencies(_docs(spark, sf_dir), "doc_id", "text", RAW)
+
+
+def _q_df(spark, sf_dir):
+    return A.document_frequencies(_docs(spark, sf_dir), "doc_id", "text", RAW)
+
+
+def _q_doclen(spark, sf_dir):
+    return A.document_lengths(_docs(spark, sf_dir), "doc_id", "text", RAW)
+
+
+def _q_stats(spark, sf_dir):
+    return A.corpus_stats(_docs(spark, sf_dir), "doc_id", "text", RAW).select(
+        "n_docs", F.round("avg_doc_len", 6).alias("avg_doc_len")
+    )
+
+
+def _q_bm25(spark, sf_dir):
+    return A.bm25_adhoc_topk(
+        _docs(spark, sf_dir), BM25_TERMS,
+        id_col="doc_id", title_col="source", body_col="text", k=50,
+    )
+
+
+def _q_phrase(spark, sf_dir):
+    tv = A.tokens_view(_docs(spark, sf_dir), "doc_id", "text", RAW)
+    a = tv.where(F.col("term") == PHRASE[0]).select("doc_id", F.col("pos").alias("pa"))
+    b = tv.where(F.col("term") == PHRASE[1]).select("doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id").where(F.col("pb") == F.col("pa") + 1)
+        .select("doc_id").distinct()
+    )
+
+
+def _q_top5_keywords(spark, sf_dir):
+    tf = A.term_frequencies(_docs(spark, sf_dir), "doc_id", "text", RAW)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", F.col("rn").cast("long").alias("rn"), "term", "tf")
+    )
+
+
+def _q_doc_norm(spark, sf_dir):
+    """Reference cosine doc norm (Appendix A denominator), unstemmed."""
+    docs = _docs(spark, sf_dir)
+    tf = A.term_frequencies(docs, "doc_id", "text", RAW)
+    n_docs = docs.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tfmax = tf.groupBy("doc_id").agg(F.max("tf").alias("tf_max"))
+    return (
+        tf.join(dfreq, "term")
+        .join(tfmax, "doc_id")
+        .withColumn(
+            "_w",
+            F.col("tf") * F.log10(F.lit(float(n_docs)) / F.col("df")) / F.col("tf_max"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sqrt(F.sum(F.col("_w") * F.col("_w"))), 6).alias("doc_norm"))
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicate_groups(_docs(spark, sf_dir), "doc_id", "text").select(
+        "content_hash", "n_dups", "min_doc_id"
+    )
+
+
+def _q_minhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", _raw_tokens_col().alias("toks"))
+    return D.minhash_signatures(docs, "doc_id", "toks", num_hashes=4, shingle_k=3)
+
+
+def _q_lang_id(spark, sf_dir):
+    return TS.language_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_quality(spark, sf_dir):
+    return TS.quality_features(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_token_counts(spark, sf_dir):
+    return TS.token_counts(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_fingerprint(spark, sf_dir):
+    return TS.document_fingerprint(_docs(spark, sf_dir), "doc_id", "text", shingle_k=4)
+
+
+def _q_ann_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.cosine_topk(emb, qvec, "vec_id", "embedding", k=10)
+
+
+# ---- engine-only (stemming / LSH / media: no ANSI-SQL oracle) -------------
+
+def _q_simhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", _raw_tokens_col().alias("toks"))
+    return D.simhash64(docs, "doc_id", "toks")
+
+
+def _q_near_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", _raw_tokens_col().alias("toks"))
+    return D.minhash_near_duplicates(
+        docs, "doc_id", "toks", num_hashes=16, bands=4, shingle_k=3, threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_lsh_ann(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.lsh_ann_topk(emb, qvec, "vec_id", "embedding", k=10, num_planes=8)
+
+
+def _q_bm25_stemmed(spark, sf_dir):
+    """Full analysis pipeline (stop + Porter-variant stem) BM25 — the
+    stemming-dependent twin of q05 (pytest oracle covers the stemmer)."""
+    terms = [t for w in ["merging", "scanning", "joins"] for t in analyze_text_py(w)]
+    return A.bm25_adhoc_topk(
+        _docs(spark, sf_dir), terms,
+        id_col="doc_id", title_col="source", body_col="text", k=50,
+        analysis=AnalysisConfig.full(),
+    )
+
+
+def _q_media_image_features(spark, sf_dir):
+    from web_based_search_engine_spark.functions.multimodal import (
+        image_features,
+        synth_media_df,
+    )
+
+    return image_features(synth_media_df(spark, 48), fake=True)
+
+
+def _q_media_frames(spark, sf_dir):
+    from web_based_search_engine_spark.functions.multimodal import (
+        audio_frame_sample,
+        synth_media_df,
+    )
+
+    return audio_frame_sample(synth_media_df(spark, 48), fake=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_term_frequencies": _q_tf,
+        "q02_document_frequencies": _q_df,
+        "q03_document_lengths": _q_doclen,
+        "q04_corpus_stats": _q_stats,
+        "q05_bm25_top50": _q_bm25,
+        "q06_phrase_match": _q_phrase,
+        "q07_top5_keywords": _q_top5_keywords,
+        "q08_doc_norms": _q_doc_norm,
+        "q09_dedup_exact": _q_dedup_exact,
+        "q10_minhash_signatures": _q_minhash,
+        "q11_language_id": _q_lang_id,
+        "q12_quality_features": _q_quality,
+        "q13_token_counts": _q_token_counts,
+        "q14_fingerprint": _q_fingerprint,
+        "q15_ann_cosine_top10": _q_ann_cosine,
+        "q16_simhash": _q_simhash,
+        "q17_minhash_near_dups": _q_near_dups,
+        "q18_lsh_ann_top10": _q_lsh_ann,
+        "q19_bm25_stemmed_top50": _q_bm25_stemmed,
+        "q20_media_image_features": _q_media_image_features,
+        "q21_media_frame_sample": _q_media_frames,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracle sql
+
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_-]+'), x -> x <> '')"
+)
+_TOKS_CTE = f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)"
+_UNNEST = (
+    "SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM toks"
+)
+
+
+def _sql_lang_id() -> str:
+    from web_based_search_engine_spark.functions.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n    ".join(
+        "len(list_filter(t, x -> x IN ({}))) / greatest(len(t), 1) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"s_{lang}" for lang in langs))
+    guess_cases = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+{_TOKS_CTE},
+scored AS (SELECT doc_id,
+    {hit_cols}
+  FROM toks),
+best AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id,
+       CASE WHEN best <= 0 THEN 'und' {guess_cases} END AS lang_guess,
+       round(best, 6) AS lang_score
+FROM best
+"""
+
+
+def _sql_quality() -> str:
+    from web_based_search_engine_spark.functions.textstats import LANG_MARKERS
+
+    stops = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS raw, {_TOKS} AS t FROM documents
+), feat AS (
+  SELECT doc_id,
+    len(t) AS n_tokens,
+    CASE WHEN len(t) > 0
+         THEN list_aggregate(list_transform(t, x -> length(x)), 'sum') * 1.0 / len(t)
+         ELSE 0.0 END AS mean_token_len,
+    CASE WHEN length(raw) > 0
+         THEN len(regexp_extract_all(raw, '[A-Za-z]')) * 1.0 / length(raw)
+         ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN len(t) > 0
+         THEN len(list_filter(t, x -> x IN ({stops}))) * 1.0 / len(t)
+         ELSE 0.0 END AS stop_ratio
+  FROM base
+)
+SELECT doc_id,
+       n_tokens::BIGINT AS n_tokens,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(
+         (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.25 END)
+         * least(1.0, alpha_ratio * 1.5)
+         * least(1.0, stop_ratio * 5 + 0.5), 6) AS quality
+FROM feat
+"""
+
+
+def _sql_minhash(num_hashes: int = 4, k: int = 3) -> str:
+    mh_cols = ",\n  ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+{_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - {k} + 2),
+                             i -> array_to_string(t[i:i+{k - 1}], ' ')) END AS sh
+  FROM toks
+)
+SELECT doc_id,
+  {mh_cols}
+FROM sh
+"""
+
+
+def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75,
+              tw: float = 0.9) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(source), '[^a-z0-9_-]+'), x -> x <> '') AS tt,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_-]+'), x -> x <> '') AS bt
+  FROM documents
+), lens AS (SELECT doc_id, len(tt) + len(bt) AS len_d FROM d),
+stats AS (SELECT count(*) AS n, avg(len_d) AS avgdl FROM lens),
+q(term) AS (VALUES {vals}),
+tf AS (
+  SELECT d.doc_id, q.term,
+         len(list_filter(d.tt, x -> x = q.term)) AS title_tf,
+         len(list_filter(d.bt, x -> x = q.term)) AS body_tf
+  FROM d CROSS JOIN q
+), tf2 AS (SELECT * FROM tf WHERE title_tf > 0 OR body_tf > 0),
+dfreq AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+partials AS (
+  SELECT tf2.doc_id,
+    ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      * ({k1} + 1.0) * ({tw} * title_tf + {1 - tw:.1f} * body_tf)
+      / (({tw} * title_tf + {1 - tw:.1f} * body_tf)
+         + {k1} * (1 - {b} + {b} * lens.len_d / s.avgdl)) AS p
+  FROM tf2
+  CROSS JOIN stats s
+  JOIN dfreq USING (term)
+  JOIN lens ON tf2.doc_id = lens.doc_id
+)
+SELECT doc_id, round(sum(p), 6) AS score
+FROM partials GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 50
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_term_frequencies": f"""
+{_TOKS_CTE}, u AS ({_UNNEST})
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM u GROUP BY doc_id, term
+""",
+        "q02_document_frequencies": f"""
+{_TOKS_CTE}, u AS ({_UNNEST})
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM u GROUP BY term
+""",
+        "q03_document_lengths": f"""
+{_TOKS_CTE} SELECT doc_id, len(t)::BIGINT AS len FROM toks
+""",
+        "q04_corpus_stats": f"""
+{_TOKS_CTE} SELECT count(*)::BIGINT AS n_docs, round(avg(len(t)), 6) AS avg_doc_len FROM toks
+""",
+        "q05_bm25_top50": _sql_bm25(BM25_TERMS),
+        "q06_phrase_match": f"""
+{_TOKS_CTE}, u AS ({_UNNEST})
+SELECT DISTINCT a.doc_id AS doc_id
+FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+""",
+        "q07_top5_keywords": f"""
+{_TOKS_CTE}, u AS ({_UNNEST}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM u GROUP BY doc_id, term)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn,
+       term, tf
+FROM tf
+QUALIFY rn <= 5
+""",
+        "q08_doc_norms": f"""
+{_TOKS_CTE}, u AS ({_UNNEST}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+tfmax AS (SELECT doc_id, max(tf) AS tf_max FROM tf GROUP BY doc_id),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id,
+       round(sqrt(sum(pow(tf.tf * log10(n.n_docs * 1.0 / dfreq.df) / tfmax.tf_max, 2))), 6) AS doc_norm
+FROM tf JOIN dfreq USING (term) JOIN tfmax ON tf.doc_id = tfmax.doc_id CROSS JOIN n
+GROUP BY tf.doc_id
+""",
+        "q09_dedup_exact": """
+SELECT md5(coalesce(text, '')) AS content_hash,
+       count(*)::BIGINT AS n_dups,
+       min(doc_id)::BIGINT AS min_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+        "q10_minhash_signatures": _sql_minhash(4, 3),
+        "q11_language_id": _sql_lang_id(),
+        "q12_quality_features": _sql_quality(),
+        "q13_token_counts": r"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+  len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens,
+  length(coalesce(text,''))::BIGINT AS chars
+FROM documents
+""",
+        "q14_fingerprint": f"""
+{_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+3], ' ')) END AS sh
+  FROM toks
+)
+SELECT doc_id, coalesce(list_min(list_transform(sh, s -> md5(s))), md5('')) AS fingerprint
+FROM sh
+""",
+        "q15_ann_cosine_top10": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+             unnest((SELECT qv FROM q))::DOUBLE AS y
+      FROM embeddings e),
+s AS (SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
+      FROM z GROUP BY vec_id)
+SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
+FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+    }

@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Benchmark harness: index build + query suite at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "build": {...}, "throughput": {...}}
+
+Headline value = end-to-end wall seconds for (full index build over the
+documents corpus + the query suite).  The build is the expensive, scaling-
+relevant part; per-query latencies cover both physical modes (columnar
+Catalyst scoring and compressed-block WAND) plus the training-data ops.
+
+Scaling evidence (north_rule: throughput efficiency >= 0.8 from N to 4N):
+run ``python bench.py --scaling`` (or env SPARK_GRAFT_SCALING=1) — executes
+the same build at local[8] and local[32] in separate JVMs and reports both
+throughputs + efficiency (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def bench_n_docs(sf_dir: str) -> int:
+    """Corpus size for the index-build bench: the driver documents table is
+    tiny (5k rows at sf0.1), so the build benchmark synthesizes a
+    deterministic corpus sized by sf (FIXTURES.md: 200k+ for scaling runs).
+    Overridable via SPARK_GRAFT_BENCH_DOCS."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_DOCS")
+    if env:
+        return int(env)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+    return max(2000, int(500_000 * sf))
+
+
+def build_corpus(spark, sf_dir):
+    from web_based_search_engine_spark.fixtures import corpus_df_distributed
+
+    return corpus_df_distributed(spark, bench_n_docs(sf_dir))
+
+
+def run_suite(spark, sf_dir: str, workdir: str) -> dict:
+    from web_based_search_engine_spark.config import IndexConfig, ScoringConfig
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.plans.query import QueryEngine
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+
+    results: dict[str, float] = {}
+    t_total = time.time()
+
+    corpus = build_corpus(spark, sf_dir)
+    n_docs = corpus.count()
+
+    storage = ParquetIndexStorage(os.path.join(workdir, "idx"))
+    cfg = IndexConfig(num_term_buckets=8, block_size=128, salt_buckets=8)
+    t0 = time.time()
+    IndexBuilder(spark, storage, cfg).build(corpus, resume=False)
+    build_sec = time.time() - t0
+    results["build_index"] = round(build_sec, 3)
+
+    search_queries = {
+        "search_hot_term": "foo_bar",
+        "search_multi": "merge_sort searching engines retrieval",
+        "search_rare": "rare0004x nationalism",
+        "search_phrase": 'posting "searching engines" index_builder',
+        "search_broad": "agreed happy flies searching engines running posting scoring cats does",
+    }
+    for mode in ("columnar", "blocks"):
+        qe = QueryEngine(spark, storage, ScoringConfig(scorer="bm25"), mode=mode)
+        for name, q in search_queries.items():
+            t0 = time.time()
+            qe.search(q, assemble=False).collect()
+            results[f"{name}[{mode}]"] = round(time.time() - t0, 3)
+
+    # training-data ops + oracle queries via the driver entry surface
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in [
+        "q01_term_frequencies", "q05_bm25_top50", "q09_dedup_exact",
+        "q10_minhash_signatures", "q11_language_id", "q12_quality_features",
+        "q14_fingerprint", "q15_ann_cosine_top10", "q17_minhash_near_dups",
+    ]:
+        t0 = time.time()
+        # count(), not collect(): measure the distributed compute, not the
+        # driver IPC of shipping every row back
+        qs[name](spark, sf_dir).count()
+        results[name] = round(time.time() - t0, 3)
+
+    total = time.time() - t_total
+    return {
+        "total_sec": round(total, 3),
+        "build_sec": round(build_sec, 3),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "queries": results,
+    }
+
+
+def single_run(master: str, sf_dir: str) -> dict:
+    from web_based_search_engine_spark.session import get_spark
+
+    spark = get_spark("bench", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        return run_suite(spark, sf_dir, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+def scaling_run(sf_dir: str) -> dict:
+    """local[8] vs local[32] build throughput in separate JVMs (the sandbox
+    stand-in for N vs 4N executors)."""
+    import subprocess
+
+    out = {}
+    for n in (8, 32):
+        code = (
+            "import json,sys; sys.path.insert(0, '/root/repo');"
+            "from bench import single_run;"
+            f"r = single_run('local[{n}]', {sf_dir!r});"
+            "print('@@' + json.dumps(r))"
+        )
+        p = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo"
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("@@")][-1]
+        out[f"local[{n}]"] = json.loads(line[2:])
+    thr8 = out["local[8]"]["docs_per_sec"]
+    thr32 = out["local[32]"]["docs_per_sec"]
+    return {
+        "throughput_docs_per_sec": {"local[8]": thr8, "local[32]": thr32},
+        "speedup_8_to_32": round(thr32 / thr8, 3),
+        "scaling_efficiency": round((thr32 / thr8) / 4.0, 3),
+        "detail": out,
+    }
+
+
+def main():
+    sf = SF_DIR.rstrip("/").split("sf")[-1] if "sf" in SF_DIR else SF_DIR
+    if "--scaling" in sys.argv or os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        s = scaling_run(SF_DIR)
+        print(json.dumps({"metric": "scaling_efficiency_8_to_32", "value": s["scaling_efficiency"],
+                          "unit": "ratio", "sf": sf, **s}))
+        return
+    r = single_run(f"local[{CPUS}]", SF_DIR)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_suite",
+                "value": r["total_sec"],
+                "unit": "sec",
+                "queries": r["queries"],
+                "sf": sf,
+                "build_sec": r["build_sec"],
+                "n_docs": r["n_docs"],
+                "docs_per_sec": r["docs_per_sec"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

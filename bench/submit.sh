@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# spark-submit launcher (north_rule: run via spark-submit --py-files on a
+# multi-executor cluster).  Packages the engine and submits the CLI or the
+# bench harness.  On the sandbox this runs against local[N]; on a real
+# cluster set MASTER (e.g. yarn / k8s://...) and executor counts.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+MASTER="${MASTER:-local[${SPARK_GRAFT_CPUS:-32}]}"
+EXECUTORS="${EXECUTORS:-}"
+
+ZIP=/tmp/web_search_engine_spark.zip
+rm -f "$ZIP"
+python -c "
+import shutil, zipfile, os
+with zipfile.ZipFile('$ZIP', 'w') as z:
+    for root, _, files in os.walk('web_based_search_engine_spark'):
+        for f in files:
+            if f.endswith('.py'):
+                p = os.path.join(root, f)
+                z.write(p, p)
+"
+
+EXTRA=()
+if [ -n "$EXECUTORS" ]; then
+  EXTRA+=(--num-executors "$EXECUTORS")
+fi
+
+case "${1:-bench}" in
+  bench)
+    shift || true
+    spark-submit --master "$MASTER" "${EXTRA[@]}" --py-files "$ZIP" bench.py "$@" ;;
+  *)
+    # cli passthrough: submit.sh build --corpus ... --index ...
+    spark-submit --master "$MASTER" "${EXTRA[@]}" --py-files "$ZIP" \
+      web_based_search_engine_spark/cli.py "$@" ;;
+esac

@@ -15,3 +15,31 @@ def spark():
     s = get_spark("engine-tests", master="local[4]", shuffle_partitions=4)
     yield s
     s.stop()
+
+
+N_SMALL = 300  # F1-small scale for oracle rank-identity tests
+
+
+@pytest.fixture(scope="session")
+def built_index(spark, tmp_path_factory):
+    """F1-small corpus built once through the checkpointed builder; shared
+    by query/rank/phrase/resume tests."""
+    from web_based_search_engine_spark import fixtures
+    from web_based_search_engine_spark.config import IndexConfig
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+
+    root = tmp_path_factory.mktemp("idx")
+    storage = ParquetIndexStorage(root)
+    cfg = IndexConfig(num_term_buckets=4, block_size=16, salt_buckets=4)
+    corpus = fixtures.corpus_df(spark, N_SMALL, num_partitions=4)
+    report = IndexBuilder(spark, storage, cfg).build(corpus)
+    return {"storage": storage, "cfg": cfg, "report": report, "n_docs": N_SMALL}
+
+
+@pytest.fixture(scope="session")
+def oracle_index():
+    from web_based_search_engine_spark import fixtures
+    from web_based_search_engine_spark.oracle import pandas_oracle as O
+
+    return O.build_oracle_index(fixtures.corpus_rows(N_SMALL))

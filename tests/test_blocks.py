@@ -1,0 +1,69 @@
+"""Compression codec + block roundtrip properties (SURVEY §5 item 5)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from web_based_search_engine_spark.operators import blocks as B
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert np.array_equal(B.varint_decode(B.varint_encode(arr)), arr)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip(values):
+    arr = np.sort(np.array(values, dtype=np.uint64))
+    assert np.array_equal(B.delta_decode(B.delta_encode(arr)), arr)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10000), max_size=20).map(sorted),
+        max_size=30,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_nested_positions_roundtrip(pos_lists):
+    # per-doc sorted position lists survive lengths+delta+varint packing
+    lens_buf, pos_buf = B._encode_nested_positions(pos_lists)
+    out = B._decode_nested_positions(lens_buf, pos_buf)
+    assert len(out) == len(pos_lists)
+    for got, want in zip(out, pos_lists):
+        assert got.astype(int).tolist() == list(want)
+
+
+def test_block_roundtrip_against_postings(spark, built_index):
+    """Stored compressed blocks decode back to exactly the postings table
+    (ids, tfs, positions) — encode∘decode == id end-to-end through parquet."""
+    storage = built_index["storage"]
+    postings = storage.read_table(spark, "postings")
+    blocks = storage.read_table(spark, "blocks")
+    decoded = B.decode_blocks(blocks, with_positions=True)
+
+    a = postings.select(
+        "term_id", "doc_id", "title_tf", "body_tf", "title_pos", "body_pos"
+    ).orderBy("term_id", "doc_id").collect()
+    b = decoded.orderBy("term_id", "doc_id").collect()
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert (ra["term_id"], ra["doc_id"]) == (rb["term_id"], rb["doc_id"])
+        assert ra["title_tf"] == rb["title_tf"] and ra["body_tf"] == rb["body_tf"]
+        assert list(ra["title_pos"]) == list(rb["title_pos"])
+        assert list(ra["body_pos"]) == list(rb["body_pos"])
+
+
+def test_blocks_metadata_consistent(spark, built_index):
+    storage = built_index["storage"]
+    blocks = storage.read_table(spark, "blocks").collect()
+    cfg = built_index["cfg"]
+    for r in blocks:
+        assert 0 < r["count"] <= cfg.block_size
+        assert r["first_doc_id"] <= r["last_doc_id"]
+        assert r["block_max_bm25"] > 0

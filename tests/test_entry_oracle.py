@@ -1,0 +1,64 @@
+"""Driver-contract conformance: every ``queries()`` entry with an
+``oracle_sql()`` twin must match DuckDB on schema + row count + values
+(the same comparison the driver runs at sf0.01; here at sf0.001 for
+speed).  This is the in-repo mirror of CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        c.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(map(repr, out))
+
+
+@pytest.mark.parametrize("name", sorted(entry.oracle_sql()))
+def test_query_matches_duckdb_oracle(spark, con, name):
+    sdf = entry.queries()[name](spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.sql(entry.oracle_sql()[name])
+    assert sorted(scols) == sorted(res.columns), f"{name}: schema"
+    a, b = _canon(scols, srows), _canon(res.columns, res.fetchall())
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    assert a == b, f"{name}: values differ"
+
+
+def test_rows_only_queries_run(spark):
+    """Engine-only queries (no SQL twin) must run and return sane rows."""
+    qs, osql = entry.queries(), entry.oracle_sql()
+    for name in sorted(set(qs) - set(osql)):
+        df = qs[name](spark, SF)
+        n = df.count()
+        assert n >= 0, name
+        assert len(df.columns) >= 2, name
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "score" in df.columns and "doc_id" in df.columns

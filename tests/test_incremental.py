@@ -1,0 +1,87 @@
+"""Freshness-gated incremental upsert (Indexer.isFreshDocument semantics,
+Appendix C-W8: strictly-newer wins, equal is stale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_based_search_engine_spark import fixtures
+from web_based_search_engine_spark.config import IndexConfig
+from web_based_search_engine_spark.plans.build import IndexBuilder
+from web_based_search_engine_spark.plans.query import QueryEngine
+from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+from web_based_search_engine_spark.streaming.incremental import (
+    incremental_update,
+    plan_freshness,
+)
+
+CFG = IndexConfig(num_term_buckets=2, block_size=8)
+
+
+def _mini_corpus(spark, rows):
+    return spark.createDataFrame(rows, fixtures.CORPUS_SCHEMA)
+
+
+def test_plan_freshness_sha_semantics(spark, tmp_path):
+    rows = [
+        ("r/a", "f1.py", "c1", "py", "alpha beta"),
+        ("r/a", "f2.py", "c1", "py", "gamma delta"),
+    ]
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(spark, storage, CFG).build(_mini_corpus(spark, rows))
+    stored = storage.read_table(spark, "docs")
+
+    new_rows = [
+        ("r/a", "f1.py", "c2", "py", "alpha beta CHANGED"),  # content changed -> fresh
+        ("r/a", "f2.py", "c1", "py", "gamma delta"),          # unchanged -> stale
+        ("r/a", "f3.py", "c1", "py", "epsilon"),              # new -> fresh
+    ]
+    plan = plan_freshness(_mini_corpus(spark, new_rows), stored)
+    fresh = {r["path"] for r in plan.fresh.select("path").collect()}
+    assert fresh == {"f1.py", "f3.py"}
+    assert plan.n_stale == 1
+
+
+def test_plan_freshness_mtime_strictly_greater(spark, tmp_path):
+    rows = [("r/a", "f1.py", "c1", "py", "alpha")]
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(spark, storage, CFG).build(_mini_corpus(spark, rows))
+    stored = storage.read_table(spark, "docs").withColumn("mtime", F.lit(100))
+
+    new = _mini_corpus(spark, rows)
+    # equal mtime -> stale (W8: isAfter, not >=)
+    plan_eq = plan_freshness(new.withColumn("mtime", F.lit(100)), stored, "mtime")
+    assert plan_eq.n_fresh == 0 and plan_eq.n_stale == 1
+    plan_gt = plan_freshness(new.withColumn("mtime", F.lit(101)), stored, "mtime")
+    assert plan_gt.n_fresh == 1
+
+
+def test_incremental_update_end_to_end(spark, tmp_path):
+    v1 = [
+        ("r/a", "f1.py", "c1", "py", "searching engines alpha"),
+        ("r/a", "f2.py", "c1", "py", "posting retrieval beta"),
+    ]
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(spark, storage, CFG).build(_mini_corpus(spark, v1))
+
+    # no-op update: identical corpus -> all stages skipped
+    rep = incremental_update(spark, storage, _mini_corpus(spark, v1), CFG)
+    assert rep.stages_run == []
+
+    # upsert: f2 changes content, f3 added
+    v2 = [
+        ("r/a", "f1.py", "c1", "py", "searching engines alpha"),
+        ("r/a", "f2.py", "c2", "py", "posting retrieval gamma UPDATED"),
+        ("r/a", "f3.py", "c1", "py", "brand new document zeta"),
+    ]
+    rep2 = incremental_update(spark, storage, _mini_corpus(spark, v2), CFG)
+    assert rep2.stages_run  # rebuilt
+
+    qe = QueryEngine(spark, storage, mode="columnar")
+    assert qe.search("zeta", assemble=False).count() == 1
+    assert qe.search("gamma", assemble=False).count() == 1
+    # old content of f2 is gone (delete-then-insert semantics)
+    assert qe.search("beta", assemble=False).count() == 0
+    # unchanged doc survives with identical sha
+    docs = storage.read_table(spark, "docs")
+    assert docs.count() == 3

@@ -1,0 +1,160 @@
+"""Training-data operator tests: dedup (exact/minhash/simhash), similarity
+search, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from web_based_search_engine_spark.functions import multimodal as MM
+from web_based_search_engine_spark.functions import textstats as TS
+from web_based_search_engine_spark.operators import dedup as D
+from web_based_search_engine_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("gamma", "gamma2")),        # near dup of 1
+        (4, "totally different words here nothing shared with others at all"),
+        (5, ""),                                     # empty
+        (6, base + " lambda mu"),                    # near dup superset
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "toks", F.filter(F.split(F.lower("text"), r"[^a-z0-9_-]+"), lambda x: x != F.lit(""))
+    )
+
+
+def test_exact_duplicates(spark, docs):
+    groups = D.exact_duplicate_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["min_doc_id"] == 1
+    kept = {r["doc_id"] for r in D.dedup_exact(docs, "doc_id", "text").collect()}
+    assert kept == {1, 3, 4, 5, 6}
+
+
+def test_minhash_identical_docs_same_signature(spark, docs):
+    sigs = {r["doc_id"]: (r["mh_0"], r["mh_1"]) for r in
+            D.minhash_signatures(docs, "doc_id", "toks", num_hashes=2).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_near_duplicates_finds_planted(spark, docs):
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "toks", num_hashes=16, bands=8, shingle_k=2, threshold=0.4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found            # exact dup pair survives
+    assert all(4 not in p for p in found)  # unrelated doc never pairs
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(1, 2)] == pytest.approx(1.0)
+
+
+def test_simhash_properties(spark, docs):
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs, "doc_id", "toks").collect()}
+    assert fp[1] == fp[2]  # identical token sets -> identical fingerprint
+    # near dup within small hamming distance; unrelated doc far away
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(fp[1], fp[3]) < ham(fp[1], fp[4])
+    cands = {(r["id_a"], r["id_b"]) for r in
+             D.simhash_candidate_pairs(D.simhash64(docs, "doc_id", "toks"), "doc_id").collect()}
+    assert (1, 2) in cands
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 16).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    got = [(r["vec_id"], r["cosine"]) for r in
+           SIM.cosine_topk(df, q, k=5, round_to=None).collect()]
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    want = sorted(range(40), key=lambda i: (-sims[i], i))[:5]
+    assert [i for i, _ in got] == want
+    for (i, c) in got:
+        assert c == pytest.approx(float(sims[i]), rel=1e-5)
+
+
+def test_lsh_ann_recall(spark):
+    rng = np.random.RandomState(11)
+    base = rng.randn(64).astype(np.float32)
+    rows = [(0, [float(x) for x in base])]
+    for i in range(1, 30):
+        noise = base + rng.randn(64).astype(np.float32) * (0.05 if i < 5 else 2.0)
+        rows.append((i, [float(x) for x in noise]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"] for r in SIM.lsh_ann_topk(df, [float(x) for x in base], k=5).collect()}
+    exact = {r["vec_id"] for r in SIM.cosine_topk(df, [float(x) for x in base], k=5).collect()}
+    # multiprobe LSH should recover most of the exact top-5 (near-dups share buckets)
+    assert 0 in got
+    assert len(got & exact) >= 3
+
+
+def test_embedding_near_dup_pairs(spark):
+    v = [1.0] * 8
+    w = [1.0] * 7 + [0.9]
+    u = [-1.0] * 8
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, w), (4, u)], "vec_id long, embedding array<float>"
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             SIM.embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert all(4 not in p for p in pairs)
+
+
+def test_language_id_and_quality(spark):
+    rows = [
+        (1, "the cat and the dog are in the house with that mouse"),
+        (2, "el perro y la casa de los gatos por la ventana con pan"),
+        (3, "xyzzy qwerty asdf"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    langs = {r["doc_id"]: r["lang_guess"] for r in TS.language_id(df, "doc_id", "text").collect()}
+    assert langs[1] == "en" and langs[2] == "es" and langs[3] == "und"
+    q = {r["doc_id"]: r for r in TS.quality_features(df, "doc_id", "text").collect()}
+    assert q[1]["quality"] > q[3]["quality"]
+    assert q[1]["stop_ratio"] > 0
+
+
+def test_token_counts_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! foo_bar 123"), (2, "Hello, world! foo_bar 123"), (3, "x")],
+        "doc_id long, text string",
+    )
+    tc = {r["doc_id"]: r for r in TS.token_counts(df, "doc_id", "text").collect()}
+    assert tc[1]["ws_tokens"] == 4
+    assert tc[1]["bpe_tokens"] == 8  # Hello , world ! foo _ bar 123
+    fp = {r["doc_id"]: r["fingerprint"] for r in
+          TS.document_fingerprint(df, "doc_id", "text").collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[3]
+
+
+def test_multimodal_plumbing(spark):
+    media = MM.synth_media_df(spark, 24)
+    feats = MM.image_features(media, fake=True).collect()
+    assert len(feats) == 8  # every 3rd sample is an image
+    assert all(len(r["ahash"]) == 16 for r in feats)
+    # deterministic across runs
+    feats2 = MM.image_features(MM.synth_media_df(spark, 24), fake=True).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+    frames = MM.audio_frame_sample(media).collect()
+    assert len(frames) > 0
+    stats = {r["modality"]: r["n"] for r in MM.media_size_stats(media).collect()}
+    assert stats == {"image": 8, "audio": 8, "video": 8}
+
+
+def test_real_decode_raises_not_implemented(spark):
+    media = MM.synth_media_df(spark, 3)
+    with pytest.raises(Exception) as ei:
+        MM.image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)

@@ -1,0 +1,128 @@
+"""Rank-identity harness (SURVEY §5 item 3, FIXTURES.md F4): the Spark
+engine's top-50 must be rank-identical (and score-equal to 1e-9 rtol)
+against the deterministic pandas oracle on the F1-small corpus, for every
+reference query, under both scorers and both physical modes.
+
+Rank comparison joins on the doc natural key; both sides break ties with
+the same total order (score desc, natural key asc == doc_id asc because
+dense ids are assigned in global key order — operators/ids.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from web_based_search_engine_spark import fixtures
+from web_based_search_engine_spark.config import ScoringConfig
+from web_based_search_engine_spark.oracle import pandas_oracle as O
+from web_based_search_engine_spark.plans.query import QueryEngine, parse_query
+
+K = 50
+
+
+def _engine(spark, built_index, mode, scorer):
+    return QueryEngine(
+        spark,
+        built_index["storage"],
+        scoring=ScoringConfig(scorer=scorer),
+        mode=mode,
+    )
+
+
+def _doc_key_map(spark, built_index):
+    docs = built_index["storage"].read_table(spark, "docs")
+    return {
+        r["doc_id"]: (r["repo"], r["path"], r["commit"])
+        for r in docs.select("doc_id", "repo", "path", "commit").collect()
+    }
+
+
+def _oracle_topk(oracle_index, query, scorer):
+    pq = parse_query(query)
+    scores = O.score(oracle_index, pq.keywords, ScoringConfig(scorer=scorer))
+    return O.top_k(oracle_index, scores, K, pq.phrase or None)
+
+
+def assert_rank_identical(got, want, ctx, rtol=1e-9):
+    """Rank identity with exact-tie tolerance: docs whose oracle scores are
+    equal (within rtol) form a tie group ordered by doc key; summation-order
+    float noise in the engine may permute docs *within* such a group, which
+    is not a rank error.  Outside tie groups, order must match exactly."""
+    assert len(got) == len(want), f"{ctx}: size {len(got)} != {len(want)}"
+    i = 0
+    while i < len(want):
+        j = i + 1
+        while j < len(want) and abs(want[j][1] - want[i][1]) <= rtol * max(
+            abs(want[i][1]), 1e-300
+        ):
+            j += 1
+        got_grp = {k for k, _ in got[i:j]}
+        want_grp = {k for k, _ in want[i:j]}
+        assert got_grp == want_grp, f"{ctx}: rank group [{i}:{j}] mismatch"
+        for (_, gs), (_, ws) in zip(got[i:j], want[i:j]):
+            assert gs == pytest.approx(ws, rel=1e-9), f"{ctx}: score mismatch at {i}"
+        i = j
+
+
+@pytest.mark.parametrize("scorer", ["bm25", "reference"])
+def test_rank_identity_columnar(spark, built_index, oracle_index, scorer):
+    qe = _engine(spark, built_index, "columnar", scorer)
+    key_of = _doc_key_map(spark, built_index)
+    for qid, query in fixtures.REFERENCE_QUERIES.items():
+        got = [
+            (key_of[r["doc_id"]], r["score"])
+            for r in qe.search(query, k=K, assemble=False).collect()
+        ]
+        want = _oracle_topk(oracle_index, query, scorer)
+        assert_rank_identical(got, want, f"{qid} ({scorer})")
+
+
+def test_rank_identity_blocks_wand(spark, built_index, oracle_index):
+    """WAND over compressed blocks == oracle (bm25 only)."""
+    qe = _engine(spark, built_index, "blocks", "bm25")
+    key_of = _doc_key_map(spark, built_index)
+    for qid, query in fixtures.REFERENCE_QUERIES.items():
+        got = [
+            (key_of[r["doc_id"]], r["score"])
+            for r in qe.search(query, k=K, assemble=False).collect()
+        ]
+        want = _oracle_topk(oracle_index, query, "bm25")
+        assert_rank_identical(got, want, f"{qid} (wand)")
+
+
+def test_wand_equals_exhaustive(spark, built_index):
+    """Pruning is lossless: WAND top-k == exhaustive top-k over the same
+    decode path (SURVEY §5 item 6)."""
+    from web_based_search_engine_spark.operators import wand as W
+
+    storage = built_index["storage"]
+    blocks = storage.read_table(spark, "blocks")
+    docs = storage.read_table(spark, "docs")
+    vocab = storage.read_table(spark, "vocab")
+    st = storage.read_table(spark, "stats").collect()[0]
+    for terms in [
+        ["foobar"], ["search", "engin", "retriev"],
+        ["foobar", "helloworld", "getvalu", "run", "cat"],
+    ]:
+        pruned = W.wand_top_k(
+            blocks, docs, vocab, terms, st["n_docs"], st["avg_doc_len"], prune=True
+        ).collect()
+        full = W.wand_top_k(
+            blocks, docs, vocab, terms, st["n_docs"], st["avg_doc_len"], prune=False
+        ).collect()
+        assert [(r["doc_id"], round(r["score"], 12)) for r in pruned] == [
+            (r["doc_id"], round(r["score"], 12)) for r in full
+        ], terms
+
+
+def test_sha256_invariant(spark, built_index):
+    """Per-row content invariant: docs.sha256 == sha256 of the corpus
+    content for every (repo, path, commit) (BASELINE.json input_hint)."""
+    from pyspark.sql import functions as F
+
+    docs = built_index["storage"].read_table(spark, "docs")
+    corpus = fixtures.corpus_df(spark, built_index["n_docs"])
+    joined = corpus.withColumn("want", F.sha2("content", 256)).join(
+        docs.select("repo", "path", "commit", "sha256"), ["repo", "path", "commit"]
+    )
+    assert joined.count() == built_index["n_docs"]
+    assert joined.where(F.col("want") != F.col("sha256")).count() == 0

@@ -1,0 +1,103 @@
+"""Checkpoint/resume + storage semantics (FIXTURES.md F6, north_rule):
+resumed builds skip completed stages and produce identical tables; the
+manifest carries per-stage lineage + metrics; ids are dense/deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_based_search_engine_spark import fixtures
+from web_based_search_engine_spark.config import IndexConfig
+from web_based_search_engine_spark.operators.ids import assign_dense_ids
+from web_based_search_engine_spark.plans.build import STAGES, IndexBuilder
+from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+
+
+def _table_hash(spark, storage, name, key):
+    df = storage.read_table(spark, name)
+    return sorted(
+        (tuple(r) for r in df.select(*key).collect()),
+    )
+
+
+def test_resume_skips_completed(spark, built_index):
+    storage = built_index["storage"]
+    corpus = fixtures.corpus_df(spark, built_index["n_docs"])
+    rep = IndexBuilder(spark, storage, built_index["cfg"]).build(corpus, resume=True)
+    assert rep.stages_run == []
+    assert rep.stages_skipped == STAGES
+
+
+def test_interrupted_build_resumes_identically(spark, tmp_path):
+    """Simulate a crash after each early stage: a fresh builder resumed on
+    the partial manifest must complete and match a clean build exactly."""
+    cfg = IndexConfig(num_term_buckets=2, block_size=8)
+    corpus = fixtures.corpus_df(spark, 60)
+
+    clean_storage = ParquetIndexStorage(tmp_path / "clean")
+    IndexBuilder(spark, clean_storage, cfg).build(corpus)
+
+    partial = ParquetIndexStorage(tmp_path / "partial")
+    b = IndexBuilder(spark, partial, cfg)
+    b.build(corpus)
+    # wipe completion markers of later stages -> forces re-run from stage 3
+    partial.invalidate_from(STAGES[2:])
+    rep = b.build(corpus, resume=True)
+    assert rep.stages_skipped == STAGES[:2]
+    assert rep.stages_run == STAGES[2:]
+
+    for name, key in [
+        ("docs", ["doc_id", "repo", "path", "commit", "sha256", "tf_max"]),
+        ("vocab", ["term_id", "term", "df", "cf"]),
+        ("postings", ["term_id", "doc_id", "title_tf", "body_tf"]),
+    ]:
+        assert _table_hash(spark, clean_storage, name, key) == _table_hash(
+            spark, partial, name, key
+        ), name
+
+
+def test_manifest_lineage_and_metrics(spark, built_index):
+    m = built_index["storage"].manifest()
+    for stage in STAGES:
+        assert m["stages"][stage]["completed"], stage
+        t = m["tables"][stage]
+        assert t["rows"] > 0 and t["num_files"] == len(t["files"]) > 0
+        assert t["bytes"] > 0
+    assert any(x["stage"] == "postings" for x in m["metrics"])
+    # postings partitioned by storage bucket (partition pruning at query time)
+    assert m["tables"]["postings"]["partition_by"] == ["bucket"]
+
+
+def test_dense_ids_deterministic_and_ordered(spark):
+    rows = [(f"k{i:03d}", i) for i in range(57)]
+    df = spark.createDataFrame(rows, "k string, v int").repartition(5)
+    a = assign_dense_ids(df, ["k"], "id", num_buckets=4)
+    got = {r["k"]: r["id"] for r in a.collect()}
+    # dense 1..N and in global key order
+    assert sorted(got.values()) == list(range(1, 58))
+    assert [k for k, _ in sorted(got.items(), key=lambda kv: kv[1])] == sorted(got)
+    # independent of input partitioning
+    b = assign_dense_ids(df.repartition(2), ["k"], "id", num_buckets=7)
+    assert {r["k"]: r["id"] for r in b.collect()} == got
+
+
+def test_salted_agg_matches_unsalted(spark):
+    """Salting invariance (SURVEY §5 item 5): the two-phase salted df/cf
+    aggregation equals a plain groupBy."""
+    from web_based_search_engine_spark.operators import postings as P
+
+    prepared = P.prepare_corpus(fixtures.corpus_df(spark, 80))
+    corpus_tok = P.with_doc_ids(prepared, IndexConfig(num_term_buckets=2))
+    merged = P.positional_postings(corpus_tok)
+    vocab = P.build_vocab(merged, IndexConfig(num_term_buckets=2, salt_buckets=5))
+    plain = (
+        merged.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum(F.col("title_tf") + F.col("body_tf")).alias("cf"),
+        )
+        .collect()
+    )
+    want = {r["term"]: (r["df"], r["cf"]) for r in plain}
+    got = {r["term"]: (r["df"], r["cf"]) for r in vocab.collect()}
+    assert got == want

@@ -92,6 +92,59 @@ def corpus_df(spark: SparkSession, n_docs: int = 2000, seed: int = 42,
     return df
 
 
+def corpus_df_distributed(
+    spark: SparkSession, n_docs: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Fully-distributed deterministic corpus synthesis (bench scale,
+    FIXTURES.md: 200k+ rows for the local[8]/local[32] scaling run).
+
+    No driver-side row materialization: ``spark.range`` + Catalyst
+    expressions; content tokens are drawn from the F1 vocabulary with a
+    Zipf-ish skew (u^3 index bias -> hot head terms), all derived from
+    ``xxhash64`` so the corpus is identical across runs and partitionings.
+    """
+    from pyspark.sql import functions as F
+
+    vocab, _ = _zipf_vocab(random.Random(0), n_rare=max(64, n_docs // 64))
+    varr = F.array(*[F.lit(w) for w in vocab])
+    nv = len(vocab)
+
+    base = spark.range(0, n_docs, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    n_tok = (F.pmod(F.xxhash64(i, F.lit("len")), F.lit(113)) + 8).cast("int")
+    # u in [0,1) from a per-(doc,pos) hash; idx = floor(nv * u^3) skews hot
+    content = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 1),
+            lambda p: F.element_at(
+                varr,
+                (
+                    F.floor(
+                        F.lit(nv)
+                        * F.pow(F.pmod(F.xxhash64(i, p), F.lit(1000000)) / 1e6, F.lit(3.0))
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+    )
+    stem = F.element_at(
+        F.array(*[F.lit(s) for s in _PATH_STEMS]),
+        (F.pmod(i, F.lit(len(_PATH_STEMS))) + 1).cast("int"),
+    )
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in _LANGS]), (F.pmod(i, F.lit(len(_LANGS))) + 1).cast("int")
+    )
+    return base.select(
+        F.concat(F.lit("org"), F.pmod(i, F.lit(7)), F.lit("/proj"), F.pmod(i, F.lit(23))).alias("repo"),
+        F.concat(stem, F.lit("_"), i, F.lit("."), lang).alias("path"),
+        F.sha1(F.concat(F.lit("commit:"), i)).alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
 # --- F2: 3-doc golden corpus (TestDocument.java:7-9) ------------------------
 # Terms t01..t12 are stem-stable non-stopwords; after dictionary encoding the
 # dense term ids map 1:1 onto the reference's pre-assigned ids 1..12.

@@ -1,0 +1,172 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas stages.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``decode_image``/``extract_audio_features`` raise
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+fake (derived from the payload digest) exercises the full Spark-side
+plumbing — schema, partition sizing, UDF signature, Arrow batch shape —
+which is the part that matters at 100 TB and is tested for real.
+
+Layout convention for a multimodal table:
+    (sample_id: long, modality: string, media: binary,
+     meta: struct<width:int, height:int, sample_rate:int, duration_ms:int>)
+Media bytes ride an opaque BinaryType column; Spark never interprets them,
+so scans stay columnar and predicate pushdown on metadata still works.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("media", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake multimodal table for tests/benchmarks."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        modality = ["image", "audio", "video"][i % 3]
+        payload = rng.bytes(128 + (i % 5) * 64)
+        meta = {
+            "width": 32 + (i % 8) * 16 if modality != "audio" else None,
+            "height": 32 + (i % 4) * 16 if modality != "audio" else None,
+            "sample_rate": 16000 if modality != "image" else None,
+            "duration_ms": 1000 + i * 10 if modality != "image" else None,
+        }
+        rows.append((i, modality, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic stand-in decode: digest-seeded pixel field."""
+    import zlib
+
+    seed = zlib.crc32(payload or b"") % (2**31)
+    return np.random.RandomState(seed).randint(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def image_features(
+    media: DataFrame,
+    fake: bool = True,
+    resize_to: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """Decode -> resize -> mean/std/ahash features via mapInPandas.
+
+    Real decode needs an image library (absent here): ``fake=False`` raises
+    NotImplementedError, documenting exactly where a PIL/cv2 call plugs in.
+    The Arrow plumbing (batch iteration, schema, null handling) is real.
+    """
+    rw, rh = resize_to
+    out_schema = (
+        "sample_id long, width int, height int, mean_intensity double, "
+        "std_intensity double, ahash string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["modality"] == "image"]
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if not fake:
+                    raise NotImplementedError(
+                        "real image decode requires PIL/cv2 (not in this container); "
+                        "run with fake=True for the deterministic stand-in"
+                    )
+                meta = r.meta
+                w = int(meta["width"] or 32)
+                h = int(meta["height"] or 32)
+                px = _fake_pixels(bytes(r.media or b""), w, h)
+                # nearest-neighbor "resize" to rw x rh
+                ys = (np.arange(rh) * h // rh).clip(0, h - 1)
+                xs = (np.arange(rw) * w // rw).clip(0, w - 1)
+                small = px[np.ix_(ys, xs)]
+                bits = (small > small.mean()).flatten()
+                ahash = "".join(
+                    format(int("".join("1" if b else "0" for b in bits[i : i + 4]), 2), "x")
+                    for i in range(0, bits.size, 4)
+                )
+                rows.append(
+                    (int(r.sample_id), w, h, float(px.mean()), float(px.std()), ahash)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "sample_id", "width", "height",
+                    "mean_intensity", "std_intensity", "ahash",
+                ],
+            )
+
+    return media.mapInPandas(batches, out_schema)
+
+
+def audio_frame_sample(
+    media: DataFrame,
+    frame_ms: int = 100,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling for audio/video: one row per sampled frame with a
+    digest feature — the shuffle-free explode pattern for media pipelines."""
+    out_schema = "sample_id long, frame_idx int, frame_digest string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            pdf = pdf[pdf["modality"].isin(["audio", "video"])]
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if not fake:
+                    raise NotImplementedError(
+                        "real audio/video decode requires ffmpeg bindings "
+                        "(not in this container)"
+                    )
+                dur = int((r.meta or {}).get("duration_ms") or 0)
+                n_frames = max(1, dur // frame_ms)
+                payload = bytes(r.media or b"")
+                for fi in range(min(n_frames, 64)):
+                    h = hashlib.sha256(payload + fi.to_bytes(4, "big")).hexdigest()[:16]
+                    rows.append((int(r.sample_id), fi, h))
+            yield pd.DataFrame(rows, columns=["sample_id", "frame_idx", "frame_digest"])
+
+    return media.mapInPandas(batches, out_schema)
+
+
+def media_size_stats(media: DataFrame) -> DataFrame:
+    """Pure-Catalyst metadata pass: payload sizes per modality (pushdown
+    column pruning means the binary column is read but metadata filters
+    prune row groups first)."""
+    return media.groupBy("modality").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.length("media")).cast("long").alias("total_bytes"),
+        F.avg(F.length("media")).alias("avg_bytes"),
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst (regexp + array functions) so each has an exact ANSI-SQL
+twin for the DuckDB oracle.  Formulas are deliberately simple, deterministic
+heuristics — the point at 100 TB is the dataflow (one narrow scan, no
+shuffle, codegen end-to-end), not linguistic sophistication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import TOKEN_SPLIT_REGEX
+from .analysis import tokenize
+
+# Tiny per-language marker lists for the n-gram/stopword language heuristic.
+# Shared verbatim with the SQL oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "for", "with", "that", "are"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
+    "fr": ("le", "la", "les", "des", "une", "est", "pour", "dans", "que", "sur"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "auf"),
+}
+
+# BPE-ish token regex: words, numbers, or single non-space symbols — the
+# "token counting" estimator for LLM-budget accounting.
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit("")))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish tokens via regexp_count — a cheap, deterministic
+    proxy for subword token budgets."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_ISH_REGEX))
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        whitespace_token_count(text_col).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count(text_col).cast("long").alias("bpe_tokens"),
+        F.length(text_col).cast("long").alias("chars"),
+    )
+
+
+def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda x: x.isin(list(markers))))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language heuristic -> (id, lang_guess, lang_score).
+
+    lang_guess = language with the highest marker-hit ratio (ties broken by
+    language code asc, 'und' if no marker hits)."""
+    toks = tokenize(text_col, lowercase=True)
+    base = df.select(F.col(id_col), toks.alias("_t")).withColumn(
+        "_n", F.greatest(F.size("_t"), F.lit(1))
+    )
+    scored = base.select(
+        F.col(id_col),
+        *[
+            (_marker_hits(F.col("_t"), m) / F.col("_n")).alias(f"_s_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # asc order => deterministic tie-break
+        guess = guess.when(F.col(f"_s_{lang}") == best, F.lit(lang))
+    return scored.select(
+        F.col(id_col),
+        guess.alias("lang_guess"),
+        F.round(best, 6).alias("lang_score"),
+    )
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str,
+                     stop_markers: tuple[str, ...] = LANG_MARKERS["en"]) -> DataFrame:
+    """Per-doc quality features + composite score -> (id, n_tokens,
+    mean_token_len, alpha_ratio, stop_ratio, quality).
+
+    quality in [0,1]: penalizes empty/huge docs, symbol soup, and
+    stopword-free (unnatural) text — the usual pretraining heuristics."""
+    toks = tokenize(text_col, lowercase=True)
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_raw"),
+        toks.alias("_t"),
+    ).withColumn("_n", F.size("_t"))
+    alpha_ratio = F.when(
+        F.length("_raw") > 0,
+        F.regexp_count(F.col("_raw"), F.lit(r"[A-Za-z]")) / F.length("_raw"),
+    ).otherwise(F.lit(0.0))
+    mean_tok = F.when(
+        F.col("_n") > 0,
+        F.aggregate(F.transform("_t", F.length), F.lit(0), lambda a, x: a + x)
+        / F.col("_n"),
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        F.col("_n") > 0, _marker_hits(F.col("_t"), stop_markers) / F.col("_n")
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when((F.col("_n") >= 5) & (F.col("_n") <= 100000), 1.0).otherwise(0.25)
+    quality = F.round(
+        len_ok
+        * F.least(F.lit(1.0), alpha_ratio * 1.5)
+        * F.least(F.lit(1.0), stop_ratio * 5 + 0.5),
+        6,
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def document_fingerprint(df: DataFrame, id_col: str, text_col: str,
+                         shingle_k: int = 4) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over word k-gram shingles ->
+    (id, fingerprint).  Identical normalized token streams get identical
+    fingerprints regardless of formatting."""
+    from ..operators.dedup import shingles
+
+    toks = tokenize(text_col, lowercase=True)
+    return df.select(
+        F.col(id_col),
+        F.coalesce(
+            F.array_min(F.transform(shingles(toks, shingle_k), F.md5)),
+            F.md5(F.lit("")),
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,128 @@
+"""Ad-hoc (index-free) retrieval over an arbitrary document table.
+
+Runs the same scoring semantics as the stored-index engine but computes
+tf/df/len on the fly with pure Catalyst — used for one-shot scoring of
+driver-provided tables (``documents``) and as the ANSI-SQL-expressible
+surface for the DuckDB correctness oracle (FIXTURES.md F5: raw analysis,
+no stemming).  Every aggregate is aliased so Spark and SQL column names
+match the driver's value-hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import AnalysisConfig, ScoringConfig
+from ..functions.analysis import analyze
+
+
+def tokens_view(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: AnalysisConfig | None = None,
+) -> DataFrame:
+    """-> (id, pos, term): position-ordered analyzed tokens (0-based)."""
+    cfg = cfg or AnalysisConfig.raw()
+    return df.select(
+        F.col(id_col), F.posexplode(analyze(text_col, cfg)).alias("pos", "term")
+    )
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str,
+                     cfg: AnalysisConfig | None = None) -> DataFrame:
+    """tf per (doc, term) (SURVEY #16 without positions)."""
+    return (
+        tokens_view(df, id_col, text_col, cfg)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def document_frequencies(df: DataFrame, id_col: str, text_col: str,
+                         cfg: AnalysisConfig | None = None) -> DataFrame:
+    """df per term (SURVEY #20)."""
+    return (
+        tokens_view(df, id_col, text_col, cfg)
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).cast("long").alias("df"))
+    )
+
+
+def document_lengths(df: DataFrame, id_col: str, text_col: str,
+                     cfg: AnalysisConfig | None = None) -> DataFrame:
+    cfg = cfg or AnalysisConfig.raw()
+    return df.select(
+        F.col(id_col), F.size(analyze(text_col, cfg)).cast("long").alias("len")
+    )
+
+
+def corpus_stats(df: DataFrame, id_col: str, text_col: str,
+                 cfg: AnalysisConfig | None = None) -> DataFrame:
+    return document_lengths(df, id_col, text_col, cfg).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("len").alias("avg_doc_len"),
+    )
+
+
+def bm25_adhoc_topk(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    title_col: str | None = None,
+    body_col: str = "text",
+    k: int = 50,
+    cfg: ScoringConfig | None = None,
+    analysis: AnalysisConfig | None = None,
+) -> DataFrame:
+    """Index-free BM25 top-k with the engine's 0.9/0.1 field weighting.
+
+    Same formula as operators/scoring.bm25_term_score; df counts docs with
+    the term in title OR body; len_d = title_len + body_len; deterministic
+    (score desc, id asc) tiebreak on the *rounded* score so ties are stable
+    across summation orders (scores also returned rounded to 6 dp for
+    oracle hash comparison).
+    """
+    cfg = cfg or ScoringConfig()
+    analysis = analysis or AnalysisConfig.raw()
+    terms = list(dict.fromkeys(terms))
+
+    title = analyze(title_col, analysis) if title_col else F.array().cast("array<string>")
+    body = analyze(body_col, analysis)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        title.alias("_title"),
+        body.alias("_body"),
+    )
+    base = base.withColumn("len_d", F.size("_title") + F.size("_body"))
+
+    stats = base.agg(
+        F.count("*").alias("n"), F.avg("len_d").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 1.0)
+
+    # |terms| is tiny: broadcast cross join, count occurrences per field
+    # with a codegen'd array filter, keep only matching (doc, term) pairs
+    per_term = (
+        base.crossJoin(
+            F.broadcast(
+                df.sparkSession.createDataFrame([(t,) for t in terms], "term string")
+            )
+        )
+        .withColumn("title_tf", F.size(F.filter("_title", lambda x: x == F.col("term"))))
+        .withColumn("body_tf", F.size(F.filter("_body", lambda x: x == F.col("term"))))
+        .where((F.col("title_tf") > 0) | (F.col("body_tf") > 0))
+    )
+
+    df_per_term = per_term.groupBy("term").agg(F.count("*").alias("df"))
+    wtf = cfg.title_weight * F.col("title_tf") + (1 - cfg.title_weight) * F.col("body_tf")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = wtf + cfg.k1 * (1.0 - cfg.b + cfg.b * F.col("len_d") / F.lit(avgdl))
+    scored = (
+        per_term.join(F.broadcast(df_per_term), "term")
+        .withColumn("_partial", idf * (cfg.k1 + 1.0) * wtf / denom)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_partial"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

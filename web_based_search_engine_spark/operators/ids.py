@@ -1,25 +1,30 @@
-"""Deterministic, scalable dense-id assignment.
+"""Deterministic, scalable dense-id assignment in global key order.
 
 Replaces the reference's inherently sequential ``size()+1`` id scheme
 (WordIndexer.java:43-47, URLIndexer.java:44-48; SURVEY Appendix C-W1) with a
-two-phase bucketed rank:
+two-phase ranged rank:
 
-1. deterministic bucket: ``pmod(xxhash64(key...), B)``
-2. local ``row_number()`` within each bucket ordered by the natural key
-3. tiny driver-side cumulative offset per bucket (B rows), broadcast back
+1. ``repartitionByRange(B, key...).sortWithinPartitions(key...)`` — ONE
+   shuffle; partitions are key-ranges in ascending partition-id order
+2. ``monotonically_increasing_id()`` = partition_id * 2^33 + row_index,
+   decomposed into (partition, local_rank) — no window, no second shuffle
+3. tiny driver-side cumulative offset per partition (B rows), broadcast back
 
-id = offset[bucket] + local_rank.  Dense (1..N), deterministic for a given
-input set (independent of partitioning, task order, or sampling), and scales:
-the only shuffle is by the uniform hash bucket, each window sorts ~N/B rows,
-and the driver materializes only B counts.  Unlike a single global
-``row_number()`` window (one-partition bottleneck) this survives a 1000x
-scale-up; unlike ``monotonically_increasing_id`` it is stable across runs.
+id = offset[partition] + local_rank + 1.  Dense (1..N) and in **global
+natural key order** — the same total order the pandas oracle uses for its
+deterministic tiebreak, so ``(score desc, doc_id asc)`` ranks are directly
+comparable.  Each id depends only on the global key order, not on where the
+sampled range boundaries fall, so the assignment is stable across runs and
+partition layouts (keys must be unique).  Scales: no single global window;
+each partition sorts ~N/B rows and the driver holds only B counts.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_MID_BITS = 33  # monotonically_increasing_id: partition_id << 33 | row_index
 
 
 def assign_dense_ids(
@@ -28,37 +33,38 @@ def assign_dense_ids(
     id_col: str,
     num_buckets: int = 256,
 ) -> DataFrame:
-    """Add dense 1-based ``id_col`` ordered by (bucket(key), key...).
+    """Add dense 1-based ``id_col`` in global ``key_cols`` order.
 
     ``df`` must be unique on ``key_cols`` (duplicate keys would get distinct
     ids — call ``dropDuplicates`` first if needed).
     """
-    bucket = F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int")
-    w = Window.partitionBy("_id_bucket").orderBy(*key_cols)
-    local = df.withColumn("_id_bucket", bucket).withColumn(
-        "_local_rank", F.row_number().over(w)
+    ranged = df.repartitionByRange(num_buckets, *[F.col(k) for k in key_cols])
+    local = ranged.sortWithinPartitions(*key_cols).withColumn(
+        "_mid", F.monotonically_increasing_id()
     )
-    # Persist: the bucket-count pass and the final join both consume `local`;
-    # without this the upstream (tokenization at build time) would run twice.
-    # The build plan additionally materializes stage outputs to parquet, so
-    # at cluster scale this persist only needs to survive one stage pair.
+    # Persist: the partition-count pass and the final projection both consume
+    # `local`; without this the upstream (tokenization at build time) would
+    # run twice AND the ids could shift if boundaries resample.  The
+    # checkpointed builder additionally materializes stage outputs.
     local = local.persist()
+    part = F.shiftright("_mid", _MID_BITS).cast("int")
     counts = (
-        local.groupBy("_id_bucket").count().orderBy("_id_bucket").collect()
+        local.groupBy(part.alias("_id_part")).count().orderBy("_id_part").collect()
     )
-    offsets = {}
-    acc = 0
-    for row in counts:
-        offsets[row["_id_bucket"]] = acc
+    offsets, acc = {}, 0
+    for row in counts:  # _id_part ascending == key-range ascending
+        offsets[row["_id_part"]] = acc
         acc += row["count"]
     spark = df.sparkSession
     offsets_df = F.broadcast(
         spark.createDataFrame(
-            [(b, o) for b, o in offsets.items()], "_id_bucket int, _id_offset long"
+            [(p, o) for p, o in offsets.items()], "_id_part int, _id_offset long"
         )
     )
+    local_rank = F.col("_mid").bitwiseAND(F.lit((1 << _MID_BITS) - 1))
     return (
-        local.join(offsets_df, "_id_bucket")
-        .withColumn(id_col, (F.col("_id_offset") + F.col("_local_rank")).cast("long"))
-        .drop("_id_bucket", "_local_rank", "_id_offset")
+        local.withColumn("_id_part", part)
+        .join(offsets_df, "_id_part")
+        .withColumn(id_col, (F.col("_id_offset") + local_rank + 1).cast("long"))
+        .drop("_id_part", "_mid", "_id_offset")
     )

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline, pure Catalyst
+  (``zip_with`` dot product + precomputed norms); one scan, no shuffle
+  except the final TakeOrderedAndProject.
+- random-hyperplane LSH buckets: the scale path — candidates share a
+  signature bucket, so the scan per query touches ~N/2^bits docs.  The
+  hyperplanes are deterministic pseudo-random vectors derived from
+  xxhash64(plane, dim) — reproducible across runs with no stored model.
+- embedding-cosine near-duplicate pairs: bucket-join variant for dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec_col, qvec: list[float]):
+    """dot(vec, literal query) without UDFs: sum over zip_with products."""
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+    )
+
+
+def l2_norm(vec_col):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector ->
+    (id, cosine).  Deterministic tiebreak (cosine desc, id asc); cosine
+    optionally rounded for cross-engine hash comparison."""
+    import math
+
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    cos = _dot_lit(F.col(vec_col), query_vec) / (l2_norm(F.col(vec_col)) * F.lit(qnorm))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        embeddings.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane: component d is a
+    hash-derived value in [-1, 1)."""
+    import zlib
+
+    import numpy as np
+
+    # zlib.crc32 (not Python hash(): that is salted per process)
+    seed = zlib.crc32(f"simsearch-plane-{plane}".encode()) % (2**31)
+    rng = np.random.RandomState(seed)
+    return (rng.rand(dim) * 2 - 1).tolist()
+
+
+def lsh_bucket_signatures(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """-> (id, bucket): random-hyperplane signature (one int, num_planes
+    bits).  Vectors near in cosine land in the same bucket w.h.p."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    sig = F.lit(0)
+    for p in range(num_planes):
+        plane = _hyperplane(p, dim)
+        sig = sig.bitwiseOR(
+            F.when(_dot_lit(F.col(vec_col), plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        )
+    return embeddings.select(F.col(id_col), sig.alias("bucket"))
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scorer to the query's LSH
+    bucket (plus hamming-1 neighbor buckets for recall)."""
+    dim = len(query_vec)
+    qsig = 0
+    for p in range(num_planes):
+        plane = _hyperplane(p, dim)
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            qsig |= 1 << p
+    probe = [qsig] + [qsig ^ (1 << p) for p in range(num_planes)]  # multiprobe
+    sigs = lsh_bucket_signatures(embeddings, id_col, vec_col, num_planes, dim)
+    cand = embeddings.join(
+        sigs.where(F.col("bucket").isin(probe)).select(id_col), id_col, "left_semi"
+    )
+    return cosine_topk(cand, query_vec, id_col, vec_col, k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 10,
+    threshold: float = 0.95,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: LSH bucket-join -> exact cosine on
+    in-bucket pairs -> (id_a, id_b, cosine >= threshold)."""
+    sigs = lsh_bucket_signatures(embeddings, id_col, vec_col, num_planes)
+    buckets = sigs.groupBy("bucket").agg(
+        F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket_size).alias("ids")
+    ).where(F.size("ids") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda b: F.struct(F.col("ids")[i].alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.id_a").cast("long").alias("id_a"), F.col("p.id_b").cast("long").alias("id_b")).distinct()
+
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot / (l2_norm(F.col("_va")) * l2_norm(F.col("_vb")))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

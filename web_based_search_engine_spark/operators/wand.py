@@ -41,7 +41,13 @@ def _score_decoded(
     n_docs: int,
     avg_doc_len: float,
     cfg: ScoringConfig,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
+    if candidates is not None:
+        # e.g. the phrase doc set: scores are computed only for candidate
+        # docs so the final top-k is the top-k of the FILTERED ranking
+        # (phrase filters before limit, Indexer.java:270-276)
+        decoded = decoded.join(candidates.select("doc_id"), "doc_id", "left_semi")
     cand = decoded.join(F.broadcast(df_map), "term_id").join(
         docs.select("doc_id", (F.col("title_len") + F.col("body_len")).alias("len_d")),
         "doc_id",
@@ -61,11 +67,16 @@ def wand_top_k(
     n_docs: int,
     avg_doc_len: float,
     cfg: ScoringConfig | None = None,
-    prune: bool = True,
+    prune: bool | str = "auto",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a disjunctive BM25 query over the block
     index.  ``prune=False`` gives the exhaustive scorer over the same
-    decode path (the equivalence oracle for tests)."""
+    decode path (the equivalence oracle for tests).  ``candidates``
+    restricts the ranking to a doc subset (phrase semi-join) BEFORE the
+    top-k cut; pruning stays lossless — block upper bounds still dominate
+    candidate docs' true scores and the seed threshold is computed on the
+    restricted set."""
     cfg = cfg or ScoringConfig()
     assert cfg.scorer == "bm25", "WAND upper bounds require the additive BM25 scorer"
     spark = blocks.sparkSession
@@ -80,9 +91,20 @@ def wand_top_k(
         [(r["term_id"], r["df"]) for r in qt], "term_id long, df long"
     )
 
+    # Small-query shortcut ("auto" only; tests force True/False): the vocab
+    # lookup already gives df per term, so the block count is known
+    # driver-side with no extra job.  When the whole candidate set is a few
+    # hundred blocks, the 3-job pruning dance (gmax agg + seed threshold +
+    # pruned scan) costs more than decoding everything once.
+    if prune == "auto":
+        est_blocks = sum((r["df"] + 127) // 128 for r in qt)
+        prune = est_blocks > 256
+
     if not prune:
         return top_k(
-            _score_decoded(B.decode_blocks(cand), docs, df_map, n_docs, avg_doc_len, cfg),
+            _score_decoded(
+                B.decode_blocks(cand), docs, df_map, n_docs, avg_doc_len, cfg, candidates
+            ),
             cfg.top_k,
         )
 
@@ -103,7 +125,8 @@ def wand_top_k(
         F.col("_rn") == 1
     )
     seed_scores = _score_decoded(
-        B.decode_blocks(best_blocks.drop("_rn")), docs, df_map, n_docs, avg_doc_len, cfg
+        B.decode_blocks(best_blocks.drop("_rn")), docs, df_map, n_docs, avg_doc_len,
+        cfg, candidates,
     )
     kth = (
         seed_scores.orderBy(F.desc("score")).limit(cfg.top_k).collect()
@@ -118,6 +141,6 @@ def wand_top_k(
         F.col("block_max_bm25") + other_max[F.col("term_id")] >= F.lit(tau)
     )
     scored = _score_decoded(
-        B.decode_blocks(keep), docs, df_map, n_docs, avg_doc_len, cfg
+        B.decode_blocks(keep), docs, df_map, n_docs, avg_doc_len, cfg, candidates
     )
     return top_k(scored, cfg.top_k)

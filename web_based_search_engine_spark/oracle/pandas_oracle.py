@@ -1,0 +1,155 @@
+"""Deterministic single-process oracle implementing identical semantics to
+the Spark engine (SURVEY §5 item 3): tokenize -> stop -> stem -> postings ->
+reference/BM25 scoring -> phrase filter -> deterministic top-k.
+
+Shares the token pipeline (functions/analysis.analyze_text_py) and config
+constants with the engine — only the *execution* differs (plain dicts here,
+distributed dataflow there), so any divergence is an engine bug, not a
+semantics fork.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from dataclasses import dataclass, field
+
+from ..config import AnalysisConfig, ScoringConfig
+from ..functions.analysis import analyze_text_py
+
+
+@dataclass
+class OracleIndex:
+    # (repo, path, commit) sorted natural keys -> positions/tfs
+    doc_keys: list[tuple] = field(default_factory=list)
+    title_pos: dict = field(default_factory=lambda: defaultdict(dict))  # key -> term -> [pos]
+    body_pos: dict = field(default_factory=lambda: defaultdict(dict))
+    df: Counter = field(default_factory=Counter)
+    tf_max: dict = field(default_factory=dict)
+    title_len: dict = field(default_factory=dict)
+    body_len: dict = field(default_factory=dict)
+    n_docs: int = 0
+    avg_doc_len: float = 0.0
+    doc_norm: dict = field(default_factory=dict)
+
+    def doc_terms(self, key) -> set:
+        return set(self.title_pos[key]) | set(self.body_pos[key])
+
+
+def build_oracle_index(
+    rows: list[tuple[str, str, str, str, str]],
+    cfg: AnalysisConfig | None = None,
+    pre_tokenized: dict | None = None,
+) -> OracleIndex:
+    """rows = (repo, path, commit, lang, content); title field = path.
+
+    ``pre_tokenized`` optionally maps (repo,path,commit) -> (title_terms,
+    body_terms) to bypass analysis (golden fixtures)."""
+    cfg = cfg or AnalysisConfig.full()
+    idx = OracleIndex()
+    for repo, path, commit, _lang, content in rows:
+        key = (repo, path, commit)
+        if pre_tokenized is not None:
+            title_terms, body_terms = pre_tokenized[key]
+        else:
+            title_terms = analyze_text_py(path, cfg)
+            body_terms = analyze_text_py(content, cfg)
+        idx.doc_keys.append(key)
+        tpos: dict[str, list[int]] = defaultdict(list)
+        bpos: dict[str, list[int]] = defaultdict(list)
+        for i, t in enumerate(title_terms):
+            tpos[t].append(i)
+        for i, t in enumerate(body_terms):
+            bpos[t].append(i)
+        idx.title_pos[key] = dict(tpos)
+        idx.body_pos[key] = dict(bpos)
+        idx.title_len[key] = len(title_terms)
+        idx.body_len[key] = len(body_terms)
+        for term in set(tpos) | set(bpos):
+            idx.df[term] += 1
+        tfs = Counter()
+        for t, p in tpos.items():
+            tfs[t] += len(p)
+        for t, p in bpos.items():
+            tfs[t] += len(p)
+        idx.tf_max[key] = max(tfs.values()) if tfs else 0
+
+    idx.n_docs = len(idx.doc_keys)
+    total_len = sum(idx.title_len[k] + idx.body_len[k] for k in idx.doc_keys)
+    idx.avg_doc_len = total_len / idx.n_docs if idx.n_docs else 0.0
+    for key in idx.doc_keys:
+        s = 0.0
+        for term in idx.doc_terms(key):
+            tf = len(idx.title_pos[key].get(term, ())) + len(idx.body_pos[key].get(term, ()))
+            idf = math.log10(idx.n_docs / idx.df[term])
+            w = tf * idf / idx.tf_max[key]
+            s += w * w
+        idx.doc_norm[key] = math.sqrt(s)
+    return idx
+
+
+def score(
+    idx: OracleIndex,
+    terms: list[str],
+    cfg: ScoringConfig | None = None,
+) -> dict[tuple, float]:
+    """Disjunctive scores per doc key (term-at-a-time, like
+    InvertedIndex.getScores)."""
+    cfg = cfg or ScoringConfig()
+    qterms = list(dict.fromkeys(terms))
+    acc: dict[tuple, float] = defaultdict(float)
+    for term in qterms:
+        df = idx.df.get(term, 0)
+        if df == 0:
+            continue
+        for key in idx.doc_keys:
+            ttf = len(idx.title_pos[key].get(term, ()))
+            btf = len(idx.body_pos[key].get(term, ()))
+            if ttf == 0 and btf == 0:
+                continue
+            wtf = cfg.title_weight * ttf + (1 - cfg.title_weight) * btf
+            if cfg.scorer == "reference":
+                idf = math.log10(idx.n_docs / df)
+                acc[key] += wtf * idf / idx.tf_max[key]
+            else:
+                idf = math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5))
+                len_d = idx.title_len[key] + idx.body_len[key]
+                denom = wtf + cfg.k1 * (1 - cfg.b + cfg.b * len_d / idx.avg_doc_len)
+                acc[key] += idf * (cfg.k1 + 1.0) * wtf / denom
+    if cfg.scorer == "reference":
+        return {k: v / idx.doc_norm[k] for k, v in acc.items() if idx.doc_norm[k] > 0}
+    return dict(acc)
+
+
+def phrase_docs(idx: OracleIndex, phrase: list[str]) -> set[tuple]:
+    """Within-field adjacency by brute-force position scan (the
+    independent check for the engine's fold — not the same algorithm)."""
+    if not phrase:
+        return set()
+    out = set()
+    for key in idx.doc_keys:
+        for track in (idx.title_pos[key], idx.body_pos[key]):
+            sets = {t: set(p) for t, p in track.items()}
+            if any(
+                all((s + j) in sets.get(t, ()) for j, t in enumerate(phrase))
+                for s in track.get(phrase[0], [])
+            ):
+                out.add(key)
+                break
+    return out
+
+
+def top_k(
+    idx: OracleIndex,
+    scores: dict[tuple, float],
+    k: int = 50,
+    phrase: list[str] | None = None,
+) -> list[tuple[tuple, float]]:
+    """Deterministic top-k: (score desc, doc natural key asc) — the key
+    order matches the engine's dense doc_id order modulo bucketing; rank
+    comparisons in tests join on the natural key."""
+    items = scores.items()
+    if phrase:
+        keep = phrase_docs(idx, phrase)
+        items = [(k2, v) for k2, v in items if k2 in keep]
+    return sorted(items, key=lambda kv: (-kv[1], kv[0]))[:k]

@@ -64,6 +64,22 @@ class IndexBuilder:
         return self.storage.read_table(self.spark, name)
 
     def build(self, corpus: DataFrame, resume: bool = True) -> BuildReport:
+        """Full build: tokenize + everything downstream."""
+        cfg = self.cfg
+        return self._run_stages(
+            lambda: P.with_doc_ids(P.prepare_corpus(corpus, cfg.analysis), cfg),
+            resume=resume,
+        )
+
+    def build_from_prepared(self, prepared: DataFrame, resume: bool = True) -> BuildReport:
+        """Build from an already-tokenized corpus (incremental merge path:
+        unchanged docs keep their stored token arrays, only fresh docs were
+        re-analyzed)."""
+        return self._run_stages(
+            lambda: P.with_doc_ids(prepared, self.cfg), resume=resume
+        )
+
+    def _run_stages(self, corpus_tok_fn, resume: bool) -> BuildReport:
         t0 = time.time()
         run: list[str] = []
         skipped: list[str] = []
@@ -78,10 +94,7 @@ class IndexBuilder:
             st.write_table(df, stage, partition_by=partition_by, stage=stage)
             run.append(stage)
 
-        do(
-            "corpus_tok",
-            lambda: P.with_doc_ids(P.prepare_corpus(corpus, cfg.analysis), cfg),
-        )
+        do("corpus_tok", corpus_tok_fn)
         do("postings_raw", lambda: P.positional_postings(self._read("corpus_tok")))
         do("vocab", lambda: P.build_vocab(self._read("postings_raw"), cfg))
         do(

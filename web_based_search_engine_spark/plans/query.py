@@ -105,28 +105,32 @@ class QueryEngine:
         assemble: bool = True,
     ) -> DataFrame:
         k = k or self.scoring.top_k
-        scored = self._score(terms)
-        if phrase:
-            # semi-join filter BEFORE top-k: phrase never changes scores
-            scored = scored.join(
-                phrase_doc_ids(self.postings, self.vocab, phrase), "doc_id", "left_semi"
-            )
+        # phrase filters BEFORE the top-k cut and never changes scores
+        # (Indexer.java:270-276); candidates restrict WAND's ranking set
+        candidates = (
+            phrase_doc_ids(self.postings, self.vocab, phrase) if phrase else None
+        )
+        scored = self._score(terms, candidates)
         result = top_k(scored, k)
         return self._assemble(result) if assemble else result
 
     # ------------------------------------------------------------ internals
-    def _score(self, terms: list[str]) -> DataFrame:
+    def _score(self, terms: list[str], candidates: DataFrame | None = None) -> DataFrame:
         if self.mode == "blocks" and self.blocks is not None and self.scoring.scorer == "bm25":
             # wand_top_k prunes and limits internally; re-limit happens in
             # search_terms (idempotent on an already-top-k frame)
             return W.wand_top_k(
                 self.blocks, self.docs, self.vocab, terms,
                 self.n_docs, self.avg_doc_len, self.scoring,
+                candidates=candidates,
             )
-        return score_query_terms(
+        scored = score_query_terms(
             self.postings, self.docs, self.vocab, terms,
             self.n_docs, self.avg_doc_len, self.scoring,
         )
+        if candidates is not None:
+            scored = scored.join(candidates, "doc_id", "left_semi")
+        return scored
 
     def _assemble(self, topk: DataFrame) -> DataFrame:
         """Result assembly (#31): <=k rows, broadcast joins only.

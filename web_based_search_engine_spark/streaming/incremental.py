@@ -1,0 +1,128 @@
+"""Incremental (freshness-gated) index maintenance.
+
+The reference's "incremental" crawl is a batch upsert: a doc is re-indexed
+iff it is unseen or ``curLastModified > stored.lastModified`` — strictly
+greater, equal timestamps are stale and skipped (Indexer.java:77-85,
+Appendix C-W8).  There is no streaming in the reference (SURVEY §2.7), so
+this module is batch MERGE semantics, not Structured Streaming.
+
+``plan_freshness`` computes the fresh/stale split with an anti-join +
+timestamp comparison (SURVEY #15).  ``incremental_update`` applies it:
+nothing fresh -> no-op (all stages skipped, manifest untouched); otherwise
+the merged corpus is rebuilt through the checkpointed builder and the delta
+is recorded in the manifest metrics.
+
+Scale path (documented, exercised at partition granularity by the builder's
+bucket layout): with Iceberg the rebuild narrows to ``MERGE INTO`` on docs
+plus ``overwritePartitions`` of the term buckets touched by changed docs'
+terms; doc ids for *existing* keys are reused so untouched postings stay
+byte-identical.  In the parquet backend a changed doc set invalidates the
+dense-id assignment downstream stages depend on, so correctness-first the
+builder re-runs from corpus_tok — the checkpoint manifest still skips
+everything when the fresh set is empty.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..operators.postings import DOC_KEY
+from ..plans.build import BuildReport, IndexBuilder
+from ..sources.catalog import ParquetIndexStorage
+
+
+@dataclass
+class FreshnessPlan:
+    fresh: DataFrame      # rows of new_corpus to (re-)index
+    stale: DataFrame      # rows skipped (unchanged / not newer)
+    n_fresh: int
+    n_stale: int
+
+
+def plan_freshness(
+    new_corpus: DataFrame,
+    stored_docs: DataFrame | None,
+    mtime_col: str | None = None,
+) -> FreshnessPlan:
+    """Split ``new_corpus`` into fresh vs stale rows.
+
+    With ``mtime_col``: fresh iff unseen key or new.mtime > stored.mtime
+    (strict — W8).  Without: fresh iff unseen (repo, path) or content
+    sha256 changed (the code-corpus surrogate for Last-Modified)."""
+    if stored_docs is None:
+        n = new_corpus.count()
+        return FreshnessPlan(new_corpus, new_corpus.limit(0), n, 0)
+
+    if mtime_col:
+        old = stored_docs.select(*DOC_KEY, F.col(mtime_col).alias("_old_mtime"))
+        joined = new_corpus.join(old, DOC_KEY, "left")
+        fresh_cond = F.col("_old_mtime").isNull() | (
+            F.col(mtime_col) > F.col("_old_mtime")
+        )
+        fresh = joined.where(fresh_cond).drop("_old_mtime")
+        stale = joined.where(~fresh_cond).drop("_old_mtime")
+    else:
+        old = stored_docs.select("repo", "path", F.col("sha256").alias("_old_sha"))
+        joined = new_corpus.withColumn(
+            "_new_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+        ).join(old, ["repo", "path"], "left")
+        fresh_cond = F.col("_old_sha").isNull() | (F.col("_new_sha") != F.col("_old_sha"))
+        fresh = joined.where(fresh_cond).drop("_old_sha", "_new_sha")
+        stale = joined.where(~fresh_cond).drop("_old_sha", "_new_sha")
+    return FreshnessPlan(fresh, stale, fresh.count(), stale.count())
+
+
+def incremental_update(
+    spark: SparkSession,
+    storage: ParquetIndexStorage,
+    new_corpus: DataFrame,
+    cfg: IndexConfig | None = None,
+    mtime_col: str | None = None,
+) -> BuildReport:
+    """Upsert ``new_corpus`` into the stored index with freshness gating.
+
+    The merged corpus = fresh rows + stored rows whose key is absent from
+    the fresh set (delete-then-insert per doc, the
+    ``PostingIndex.removeDocument`` analog at set level)."""
+    cfg = cfg or IndexConfig()
+    stored = (
+        storage.read_table(spark, "docs") if storage.has_table("docs") else None
+    )
+    plan = plan_freshness(new_corpus, stored, mtime_col)
+
+    m = storage.manifest()
+    m["metrics"].append(
+        {"stage": "incremental_plan", "fresh": plan.n_fresh, "stale": plan.n_stale}
+    )
+    storage._commit_manifest(m)
+
+    if plan.n_fresh == 0:
+        # nothing newer: every stage stays checkpoint-complete (W8 skip)
+        return IndexBuilder(spark, storage, cfg).build(new_corpus.limit(0), resume=True)
+
+    if stored is not None and storage.has_table("corpus_tok"):
+        old_tok = storage.read_table(spark, "corpus_tok")
+        # delete-then-insert keys on the document identity (repo, path) —
+        # commit is a revision attribute, so a re-committed file REPLACES
+        # its old row (PostingIndex.removeDocument analog)
+        keep_old = old_tok.join(
+            plan.fresh.select("repo", "path"), ["repo", "path"], "left_anti"
+        ).select(*DOC_KEY, "lang", "sha256", "title_terms", "body_terms")
+        from ..operators.postings import prepare_corpus
+
+        fresh_tok = prepare_corpus(plan.fresh, cfg.analysis).select(
+            *DOC_KEY, "lang", "sha256", "title_terms", "body_terms"
+        )
+        merged_prepared = keep_old.unionByName(fresh_tok)
+        # downstream stages must recompute (doc set changed)
+        from ..plans.build import STAGES
+
+        storage.invalidate_from(STAGES)
+        builder = IndexBuilder(spark, storage, cfg)
+        return builder.build_from_prepared(merged_prepared)
+
+    return IndexBuilder(spark, storage, cfg).build(plan.fresh, resume=False)
