@@ -203,6 +203,33 @@ def _q_bm25_stemmed(spark, sf_dir):
     )
 
 
+def _q_link_degrees(spark, sf_dir):
+    """Content-derived doc graph (shared-4-token-prefix star edges) ->
+    in/out degrees: the SQL-expressible twin of the import-link graph
+    (operators/links.py, LinkIndexer analog)."""
+    from web_based_search_engine_spark.operators import links as L
+
+    docs = _docs(spark, sf_dir).select("doc_id", _raw_tokens_col().alias("toks"))
+    edges = L.prefix_group_links(docs, "doc_id", "toks", k=4)
+    return L.degree_table(edges)
+
+
+def _q_import_link_graph(spark, sf_dir):
+    """Import-reference web graph over the synthetic code corpus (regex link
+    scan + module resolution + neighbor aggregation); engine-only — the
+    documents table has no import statements, and the python-oracle parity
+    is covered by tests/test_links.py."""
+    from web_based_search_engine_spark.config import IndexConfig
+    from web_based_search_engine_spark.fixtures import corpus_df
+    from web_based_search_engine_spark.operators import links as L
+    from web_based_search_engine_spark.operators import postings as P
+
+    tok = P.with_doc_ids(
+        P.prepare_corpus(corpus_df(spark, 300)), IndexConfig(num_term_buckets=2)
+    )
+    return L.degree_table(L.links_from_corpus_tok(tok))
+
+
 def _q_media_image_features(spark, sf_dir):
     from web_based_search_engine_spark.functions.multimodal import (
         image_features,
@@ -244,6 +271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_bm25_stemmed_top50": _q_bm25_stemmed,
         "q20_media_image_features": _q_media_image_features,
         "q21_media_frame_sample": _q_media_frames,
+        "q22_link_degrees": _q_link_degrees,
+        "q23_import_link_graph": _q_import_link_graph,
     }
 
 
@@ -453,5 +482,19 @@ s AS (SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
       FROM z GROUP BY vec_id)
 SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
 FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+        "q22_link_degrees": f"""
+{_TOKS_CTE},
+keyed AS (SELECT doc_id, array_to_string(t[1:4], ' ') AS pkey FROM toks),
+grp AS (SELECT pkey, min(doc_id) AS src, count(*) AS n
+        FROM keyed GROUP BY pkey HAVING count(*) > 1),
+edges AS (SELECT g.src AS src_doc_id, k.doc_id AS dst_doc_id
+          FROM keyed k JOIN grp g USING (pkey) WHERE k.doc_id <> g.src),
+outs AS (SELECT src_doc_id AS doc_id, count(*) AS out_degree FROM edges GROUP BY 1),
+ins  AS (SELECT dst_doc_id AS doc_id, count(*) AS in_degree  FROM edges GROUP BY 1)
+SELECT coalesce(outs.doc_id, ins.doc_id) AS doc_id,
+       coalesce(in_degree, 0)::BIGINT  AS in_degree,
+       coalesce(out_degree, 0)::BIGINT AS out_degree
+FROM outs FULL OUTER JOIN ins ON outs.doc_id = ins.doc_id
 """,
     }

@@ -1,0 +1,159 @@
+"""Web-graph operators (LinkIndexer analog, LinkIndexer.java:12-135).
+
+Mirrors LinkIndexerTest.java:37-110 shapes: tree, graph, self-loop,
+parent/child symmetry — re-expressed over the import-reference edge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_based_search_engine_spark import fixtures
+from web_based_search_engine_spark.config import IndexConfig
+from web_based_search_engine_spark.operators import links as L
+from web_based_search_engine_spark.operators import postings as P
+
+CFG = IndexConfig(num_term_buckets=2, block_size=8)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, fixtures.CORPUS_SCHEMA)
+
+
+def _ids(corpus_tok):
+    return {
+        r["path"]: r["doc_id"] for r in corpus_tok.select("path", "doc_id").collect()
+    }
+
+
+def _tok(spark, rows):
+    return P.with_doc_ids(P.prepare_corpus(_corpus(spark, rows)), CFG)
+
+
+def test_extract_refs_patterns(spark):
+    rows = [
+        ("r", "a.py", "c", "py",
+         "import foo_mod from bar-mod include baz_1 require qux plain words"),
+        ("r", "b.py", "c", "py", "no links here"),
+    ]
+    refs = L.extract_refs(_corpus(spark, rows))
+    got = {
+        r["path"]: sorted(
+            x["ref"] for x in refs.where(F.col("path") == r["path"]).collect()
+        )
+        for r in refs.select("path").distinct().collect()
+    }
+    assert got == {"a.py": ["bar-mod", "baz_1", "foo_mod", "qux"]}
+
+
+def test_tree_graph_edges_and_symmetry(spark):
+    # a -> b, a -> c, b -> c ; d self-imports (dropped) ; e imports nothing
+    rows = [
+        ("r", "src/a.py", "c", "py", "import b import c"),
+        ("r", "src/b.py", "c", "py", "import c"),
+        ("r", "src/c.py", "c", "py", "leaf"),
+        ("r", "src/d.py", "c", "py", "import d"),
+        ("r", "src/e.py", "c", "py", "nothing"),
+    ]
+    tok = _tok(spark, rows)
+    ids = _ids(tok)
+    edges = {
+        (r["src_doc_id"], r["dst_doc_id"])
+        for r in L.links_from_corpus_tok(tok).collect()
+    }
+    a, b, c = ids["src/a.py"], ids["src/b.py"], ids["src/c.py"]
+    assert edges == {(a, b), (a, c), (b, c)}  # self-loop d->d dropped
+
+    links = L.links_from_corpus_tok(tok)
+    outs = {r["doc_id"]: r["child_ids"] for r in L.out_neighbors(links).collect()}
+    ins = {r["doc_id"]: r["parent_ids"] for r in L.in_neighbors(links).collect()}
+    assert outs[a] == sorted([b, c]) and outs[b] == [c]
+    assert ins[c] == sorted([a, b]) and ins[b] == [a]
+    # parent/child symmetry (LinkIndexerTest invariant)
+    for s, d in edges:
+        assert d in outs[s] and s in ins[d]
+
+    deg = {r["doc_id"]: (r["in_degree"], r["out_degree"])
+           for r in L.degree_table(links).collect()}
+    assert deg[a] == (0, 2) and deg[b] == (1, 1) and deg[c] == (2, 0)
+
+
+def test_links_frame_matches_corpus_tok_path(spark):
+    """The standalone links_frame (raw content scan) and the build-time
+    links_from_corpus_tok (refs column) agree on the fixture corpus."""
+    corpus = fixtures.corpus_df(spark, 120, num_partitions=2)
+    tok = P.with_doc_ids(P.prepare_corpus(corpus), CFG)
+    with_content = corpus.join(
+        tok.select("repo", "path", "commit", "doc_id"), ["repo", "path", "commit"]
+    )
+    e1 = {(r["src_doc_id"], r["dst_doc_id"]) for r in L.links_frame(with_content).collect()}
+    e2 = {(r["src_doc_id"], r["dst_doc_id"])
+          for r in L.links_from_corpus_tok(tok).collect()}
+    assert e1 == e2
+    assert e1, "fixture corpus should produce a non-empty import graph"
+
+
+def test_fixture_graph_matches_python_oracle(spark):
+    """Spark extraction + resolution == a pure-Python oracle applying the
+    same regex and module-resolution rule to the same corpus rows."""
+    import re
+
+    n = 90
+    rows = fixtures.corpus_rows(n)
+    corpus = fixtures.corpus_df(spark, n)
+    tok = P.with_doc_ids(P.prepare_corpus(corpus), CFG)
+    key_to_id = {
+        (r["repo"], r["path"]): r["doc_id"]
+        for r in tok.select("repo", "path", "doc_id").collect()
+    }
+    mod_re = re.compile(r"([^/]+?)(?:\.[A-Za-z0-9]+)?$")
+    module_to_ids: dict[str, set[int]] = {}
+    for repo, path, _c, _l, _content in rows:
+        m = mod_re.search(path).group(1)
+        module_to_ids.setdefault(m, set()).add(key_to_id[(repo, path)])
+    expected = set()
+    for repo, path, _c, _l, content in rows:
+        src = key_to_id[(repo, path)]
+        for ref in set(re.findall(L.LINK_REF_PATTERN, content)):
+            for dst in module_to_ids.get(ref, ()):
+                if dst != src:
+                    expected.add((src, dst))
+    got = {(r["src_doc_id"], r["dst_doc_id"])
+           for r in L.links_from_corpus_tok(tok).collect()}
+    assert got == expected
+    assert expected, "oracle graph should be non-empty"
+
+
+def test_prefix_group_links_star(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, ["x", "y", "z", "w", "p"]),
+            (2, ["x", "y", "z", "w", "q"]),   # same 4-prefix as 1
+            (3, ["x", "y", "z", "w"]),        # same 4-prefix as 1
+            (4, ["a", "b"]),                  # lone prefix -> no edges
+            (5, ["a", "b"]),                  # pairs with 4 (short prefix)
+        ],
+        "doc_id long, toks array<string>",
+    )
+    edges = {(r["src_doc_id"], r["dst_doc_id"])
+             for r in L.prefix_group_links(docs, "doc_id", "toks", k=4).collect()}
+    assert edges == {(1, 2), (1, 3), (4, 5)}
+
+
+def test_builder_links_stage_and_assembly(spark, built_index):
+    from web_based_search_engine_spark.plans.query import QueryEngine
+
+    storage = built_index["storage"]
+    assert storage.has_table("links")
+    links = storage.read_table(spark, "links")
+    assert links.count() > 0
+
+    qe = QueryEngine(spark, storage, mode="columnar")
+    out = qe.search("searching engines", k=5).collect()
+    assert out and "parent_ids" in out[0].asDict() and "child_ids" in out[0].asDict()
+    # any doc with children must have itself as a parent of each child
+    ins = {r["doc_id"]: set(r["parent_ids"])
+           for r in L.in_neighbors(links).collect()}
+    for row in out:
+        for child in (row["child_ids"] or []):
+            assert row["doc_id"] in ins[child]

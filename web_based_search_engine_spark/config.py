@@ -63,6 +63,9 @@ class IndexConfig:
     num_term_buckets: int = 8
     block_size: int = 128
     salt_buckets: int = 8
+    # applyInPandas encode groups per storage bucket: decouples encoder
+    # parallelism from the (small) bucket count — tasks = buckets * this
+    encode_salt: int = 16
     analysis: AnalysisConfig = field(default_factory=AnalysisConfig.full)
 
 

@@ -58,6 +58,22 @@ def _zipf_vocab(rng: random.Random, n_rare: int) -> tuple[list[str], list[float]
     return vocab, weights
 
 
+def _module_name(i: int) -> str:
+    """Module name of fixture doc i = basename of its path sans extension
+    (must agree with operators.links.module_name over corpus_rows paths)."""
+    base = _PATH_STEMS[i % len(_PATH_STEMS)].rsplit("/", 1)[-1]
+    return f"{base}_{i // len(_PATH_STEMS)}"
+
+
+def _import_lines(i: int, n_docs: int) -> str:
+    """Deterministic outbound import references for doc i (the corpus'
+    web-graph, LinkIndexer analog): i%4 imports of other docs' modules."""
+    return " ".join(
+        f"import {_module_name((i * 7919 + 13 * ln + 1) % n_docs)}"
+        for ln in range(i % 4)
+    )
+
+
 def corpus_rows(n_docs: int, seed: int = 42) -> list[tuple[str, str, str, str, str]]:
     """F1 synthetic corpus, deterministic for (n_docs, seed)."""
     rng = random.Random(seed)
@@ -77,7 +93,9 @@ def corpus_rows(n_docs: int, seed: int = 42) -> list[tuple[str, str, str, str, s
             content = rng.choice(dup_content)
         else:
             n_tok = rng.randint(8, 120)
-            content = " ".join(rng.choices(vocab, weights=weights, k=n_tok))
+            body = " ".join(rng.choices(vocab, weights=weights, k=n_tok))
+            imports = _import_lines(i, n_docs)
+            content = f"{body} {imports}".strip()
             if i % 11 == 0:
                 dup_content.append(content)
         rows.append((repo, path, commit, lang, content))
@@ -113,7 +131,7 @@ def corpus_df_distributed(
     i = F.col("id")
     n_tok = (F.pmod(F.xxhash64(i, F.lit("len")), F.lit(113)) + 8).cast("int")
     # u in [0,1) from a per-(doc,pos) hash; idx = floor(nv * u^3) skews hot
-    content = F.concat_ws(
+    body = F.concat_ws(
         " ",
         F.transform(
             F.sequence(F.lit(0), n_tok - 1),
@@ -129,6 +147,24 @@ def corpus_df_distributed(
             ),
         ),
     )
+    # deterministic import references -> corpus web graph (module name must
+    # agree with operators.links.module_name over the paths built below:
+    # basename sans extension = "<stem_base>_<j>")
+    basenames = F.array(*[F.lit(s.rsplit("/", 1)[-1]) for s in _PATH_STEMS])
+    n_links = F.pmod(i, F.lit(4)).cast("int")
+    def _import_of(ln):
+        j = F.pmod(i * 7919 + ln * 13, F.lit(n_docs))
+        return F.concat(
+            F.lit("import "),
+            F.element_at(basenames, F.pmod(j, F.lit(len(_PATH_STEMS))).cast("int") + 1),
+            F.lit("_"),
+            j,
+        )
+
+    imports = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(1), n_links), _import_of)
+    )
+    content = F.trim(F.concat_ws(" ", body, imports))
     stem = F.element_at(
         F.array(*[F.lit(s) for s in _PATH_STEMS]),
         (F.pmod(i, F.lit(len(_PATH_STEMS))) + 1).cast("int"),

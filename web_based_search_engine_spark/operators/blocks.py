@@ -182,6 +182,7 @@ def encode_blocks(
     )
 
     def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_esalt"])
         pdf = pdf.sort_values(["term_id", "doc_id"], kind="mergesort")
         rows = []
         for term_id, g in pdf.groupby("term_id", sort=False):
@@ -220,9 +221,16 @@ def encode_blocks(
             rows, columns=[f.name for f in BLOCKS_SCHEMA.fields]
         )
 
+    # Group key = (bucket, term-hash salt): a group still holds whole terms
+    # (every posting of a term lands in one group), but encoder parallelism
+    # is bucket_count * encode_salt instead of bucket_count — the storage
+    # bucket count is a layout choice and must not cap the build's cores.
     return (
-        enriched.repartition(cfg.num_term_buckets, "bucket")
-        .groupBy("bucket")
+        enriched.withColumn(
+            "_esalt",
+            F.pmod(F.xxhash64(F.lit("enc"), F.col("term_id")), F.lit(cfg.encode_salt)).cast("int"),
+        )
+        .groupBy("bucket", "_esalt")
         .applyInPandas(encode_bucket, BLOCKS_SCHEMA)
     )
 

@@ -56,11 +56,23 @@ def prepare_corpus(corpus: DataFrame, cfg: AnalysisConfig | None = None) -> Data
     document model, Crawler.java:42-63); *body* is ``content``.  ``sha256``
     preserves the per-row content invariant required by BASELINE.json.
     """
+    from .links import LINK_REF_PATTERN
+
     cfg = cfg or AnalysisConfig.full()
     return (
         corpus.withColumn("title_terms", analyze("path", cfg))
         .withColumn("body_terms", analyze("content", cfg))
         .withColumn("sha256", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+        .withColumn(
+            "refs",
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.coalesce(F.col("content"), F.lit("")),
+                    F.lit(LINK_REF_PATTERN),
+                    F.lit(1),
+                )
+            ),
+        )
     )
 
 
@@ -69,7 +81,32 @@ def with_doc_ids(prepared: DataFrame, cfg: IndexConfig) -> DataFrame:
 
     ``prepared`` needs DOC_KEY + lang + sha256 + title_terms + body_terms
     (tests may hand-build the token arrays, mirroring InvertedIndexTest
-    driving addDocument with explicit id lists)."""
+    driving addDocument with explicit id lists).  Outbound link references
+    (Crawler.extractLinks analog) come from ``prepare_corpus``'s ``refs``
+    column when present — extracted while raw content was in hand — so the
+    links stage needs no second corpus scan; the doc's own module name is
+    derived from ``path`` here.
+
+    Dense ids are assigned over the NARROW key columns only and joined
+    back.  This matters twice over: the range shuffle's boundary-sampling
+    pass re-executes its child plan, and column pruning cuts that child to
+    a 3-column key scan (no stemmer UDF, no content bytes); and the wide
+    row (token arrays) crosses the network once, in the id equi-join, not
+    in the range shuffle.  At test scale AQE turns the join broadcast (ids
+    are 3 strings + a long per doc) and the wide side never shuffles at
+    all."""
+    from .links import LINK_REF_PATTERN, module_name
+
+    if "refs" in prepared.columns:
+        refs = F.col("refs")
+    elif "content" in prepared.columns:
+        refs = F.array_distinct(
+            F.regexp_extract_all(
+                F.coalesce(F.col("content"), F.lit("")), F.lit(LINK_REF_PATTERN), F.lit(1)
+            )
+        )
+    else:
+        refs = F.array().cast("array<string>")
     base = prepared.select(
         *DOC_KEY,
         "lang",
@@ -78,8 +115,14 @@ def with_doc_ids(prepared: DataFrame, cfg: IndexConfig) -> DataFrame:
         F.size("body_terms").cast("int").alias("body_len"),
         "title_terms",
         "body_terms",
+        refs.alias("refs"),
+        module_name(F.col("path")).alias("module"),
     )
-    return assign_dense_ids(base, DOC_KEY, "doc_id", num_buckets=cfg.num_term_buckets * 32)
+    ids = assign_dense_ids(
+        prepared.select(*DOC_KEY), DOC_KEY, "doc_id",
+        num_buckets=cfg.num_term_buckets * 32,
+    )
+    return base.join(ids, DOC_KEY)
 
 
 def positional_postings(corpus_tok: DataFrame) -> DataFrame:
@@ -183,7 +226,7 @@ def build_docs(
         .agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("doc_norm"))
     )
     return (
-        corpus_tok.drop("title_terms", "body_terms")
+        corpus_tok.drop("title_terms", "body_terms", "refs", "module")
         .join(tf_max, "doc_id", "left")
         .join(norms, "doc_id", "left")
         .fillna({"tf_max": 0, "doc_norm": 0.0})

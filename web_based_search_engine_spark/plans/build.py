@@ -10,7 +10,8 @@ completed stage — north_rule checkpoint/lineage requirement, FIXTURES.md F6):
   5. docs         tf_max + reference cosine norm
   6. stats        corpus aggregates (N, avgdl)
   7. forward      doc -> (term, tf) list for top-5-keyword display
-  8. blocks       delta-gap + varint compressed posting blocks + block-max
+  8. links        web-graph edges (import refs ⋈ module names, links.py)
+  9. blocks       delta-gap + varint compressed posting blocks + block-max
 
 Incremental upsert (freshness semantics of Indexer.isFreshDocument,
 Appendix C-W8) lives in streaming/incremental.py and re-enters this builder
@@ -26,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..config import IndexConfig
 from ..operators import blocks as B
+from ..operators import links as L
 from ..operators import postings as P
 from ..sources.catalog import ParquetIndexStorage
 
@@ -37,6 +39,7 @@ STAGES = [
     "docs",
     "stats",
     "forward",
+    "links",
     "blocks",
 ]
 
@@ -47,6 +50,7 @@ class BuildReport:
     stages_skipped: list[str]
     seconds: float
     n_docs: int
+    stage_seconds: dict[str, float] | None = None
 
 
 class IndexBuilder:
@@ -83,6 +87,7 @@ class IndexBuilder:
         t0 = time.time()
         run: list[str] = []
         skipped: list[str] = []
+        stage_seconds: dict[str, float] = {}
         st = self.storage
         cfg = self.cfg
 
@@ -90,8 +95,10 @@ class IndexBuilder:
             if resume and st.stage_done(stage):
                 skipped.append(stage)
                 return
+            ts = time.time()
             df = fn()
             st.write_table(df, stage, partition_by=partition_by, stage=stage)
+            stage_seconds[stage] = round(time.time() - ts, 3)
             run.append(stage)
 
         do("corpus_tok", corpus_tok_fn)
@@ -111,6 +118,7 @@ class IndexBuilder:
         )
         do("stats", lambda: P.build_stats(self._read("docs")))
         do("forward", lambda: P.forward_frame(self._read("postings")))
+        do("links", lambda: L.links_from_corpus_tok(self._read("corpus_tok")))
         do(
             "blocks",
             lambda: B.encode_blocks(
@@ -127,4 +135,5 @@ class IndexBuilder:
             stages_skipped=skipped,
             seconds=time.time() - t0,
             n_docs=n_docs,
+            stage_seconds=stage_seconds,
         )

@@ -78,6 +78,9 @@ class QueryEngine:
         self.forward = (
             storage.read_table(spark, "forward") if storage.has_table("forward") else None
         )
+        self.links = (
+            storage.read_table(spark, "links") if storage.has_table("links") else None
+        )
         st = storage.read_table(spark, "stats").collect()[0]
         self.n_docs = int(st["n_docs"])
         self.avg_doc_len = float(st["avg_doc_len"] or 1.0)
@@ -183,4 +186,27 @@ class QueryEngine:
                 )
             )
             out = out.join(exploded, "doc_id", "left")
+        if self.links is not None:
+            # parent/child link lists (SearchResult parity via LinkIndexer
+            # getParentLinks/getChildLinks, LinkIndexer.java:100-121): the
+            # edge scan is filtered to the <=k result docs first, so each
+            # side is a broadcast semi-join + tiny agg
+            ids = topk.select("doc_id")
+            parents = (
+                self.links.join(
+                    F.broadcast(ids.withColumnRenamed("doc_id", "dst_doc_id")),
+                    "dst_doc_id",
+                )
+                .groupBy(F.col("dst_doc_id").alias("doc_id"))
+                .agg(F.sort_array(F.collect_set("src_doc_id")).alias("parent_ids"))
+            )
+            children = (
+                self.links.join(
+                    F.broadcast(ids.withColumnRenamed("doc_id", "src_doc_id")),
+                    "src_doc_id",
+                )
+                .groupBy(F.col("src_doc_id").alias("doc_id"))
+                .agg(F.sort_array(F.collect_set("dst_doc_id")).alias("child_ids"))
+            )
+            out = out.join(parents, "doc_id", "left").join(children, "doc_id", "left")
         return out.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -109,14 +109,13 @@ def incremental_update(
         # delete-then-insert keys on the document identity (repo, path) —
         # commit is a revision attribute, so a re-committed file REPLACES
         # its old row (PostingIndex.removeDocument analog)
+        tok_cols = [*DOC_KEY, "lang", "sha256", "title_terms", "body_terms", "refs"]
         keep_old = old_tok.join(
             plan.fresh.select("repo", "path"), ["repo", "path"], "left_anti"
-        ).select(*DOC_KEY, "lang", "sha256", "title_terms", "body_terms")
+        ).select(*tok_cols)
         from ..operators.postings import prepare_corpus
 
-        fresh_tok = prepare_corpus(plan.fresh, cfg.analysis).select(
-            *DOC_KEY, "lang", "sha256", "title_terms", "body_terms"
-        )
+        fresh_tok = prepare_corpus(plan.fresh, cfg.analysis).select(*tok_cols)
         merged_prepared = keep_old.unionByName(fresh_tok)
         # downstream stages must recompute (doc set changed)
         from ..plans.build import STAGES
