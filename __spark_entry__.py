@@ -180,6 +180,8 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline; md5 hash family -> full SQL oracle
+    (signatures, banded buckets, capped pairing, exact Jaccard verify)."""
     docs = _docs(spark, sf_dir).select("doc_id", _raw_tokens_col().alias("toks"))
     return D.minhash_near_duplicates(
         docs, "doc_id", "toks", num_hashes=16, bands=4, shingle_k=3, threshold=0.5
@@ -190,6 +192,25 @@ def _q_lsh_ann(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.lsh_ann_topk(emb, qvec, "vec_id", "embedding", k=10, num_planes=8)
+
+
+def _q_ivf_ann(spark, sf_dir):
+    """IVF ANN: deterministic hash-sampled + Lloyd-refined codebook, probe
+    4/16 cells; engine-only (codebook training is iterative, not ANSI-SQL);
+    recall vs the exact scorer is pytest-verified (tests/test_ops.py)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.ivf_ann_topk(emb, qvec, "vec_id", "embedding", k=10,
+                            n_centroids=16, n_probe=4)
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (LSH bucket-join + exact cosine
+    verify); engine-only (hyperplanes from a seeded RNG)."""
+    emb = _emb(spark, sf_dir)
+    return SIM.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", num_planes=6, threshold=0.9
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def _q_bm25_stemmed(spark, sf_dir):
@@ -273,6 +294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_media_frame_sample": _q_media_frames,
         "q22_link_degrees": _q_link_degrees,
         "q23_import_link_graph": _q_import_link_graph,
+        "q24_ivf_ann_top10": _q_ivf_ann,
+        "q25_embedding_near_dups": _q_embedding_near_dups,
     }
 
 
@@ -363,6 +386,58 @@ sh AS (
 SELECT doc_id,
   {mh_cols}
 FROM sh
+"""
+
+
+def _sql_minhash_near_dups(num_hashes: int = 16, bands: int = 4, k: int = 3,
+                           cap: int = 200, thr: float = 0.5) -> str:
+    """ANSI-SQL twin of D.minhash_near_duplicates: md5 MinHash signatures ->
+    banded LSH buckets (sorted, capped at ``cap``) -> all-pairs within
+    bucket -> exact shingle Jaccard verify."""
+    rpb = num_hashes // bands
+    mh_cols = ",\n  ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5({})".format(" || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)))
+        for b in range(bands)
+    )
+    return f"""
+{_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - {k} + 2),
+                             i -> array_to_string(t[i:i+{k - 1}], ' ')) END AS sh
+  FROM toks
+),
+sigs AS (SELECT doc_id, {mh_cols} FROM sh),
+banded AS (
+  SELECT doc_id, band, band_key
+  FROM (SELECT doc_id, [{band_keys}] AS bks FROM sigs),
+       LATERAL (SELECT unnest(bks) AS band_key, generate_subscripts(bks, 1) - 1 AS band)
+),
+buckets AS (
+  SELECT band, band_key, list_sort(list(doc_id))[1:{cap}] AS ids
+  FROM banded GROUP BY 1, 2 HAVING count(*) > 1
+),
+pairs AS (
+  SELECT DISTINCT ids[i] AS id_a, ids[j] AS id_b
+  FROM buckets,
+       LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i),
+       LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS j)
+  WHERE i < j
+),
+shd AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+jac AS (
+  SELECT id_a, id_b,
+         len(list_intersect(a.s, b.s)) * 1.0
+           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+  FROM pairs JOIN shd a ON pairs.id_a = a.doc_id JOIN shd b ON pairs.id_b = b.doc_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= {thr}
 """
 
 
@@ -473,6 +548,7 @@ sh AS (
 SELECT doc_id, coalesce(list_min(list_transform(sh, s -> md5(s))), md5('')) AS fingerprint
 FROM sh
 """,
+        "q17_minhash_near_dups": _sql_minhash_near_dups(16, 4, 3, 200, 0.5),
         "q15_ann_cosine_top10": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,

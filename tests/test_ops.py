@@ -99,6 +99,39 @@ def test_lsh_ann_recall(spark):
     assert len(got & exact) >= 3
 
 
+def test_ivf_ann_recall_and_determinism(spark):
+    rng = np.random.RandomState(23)
+    # 3 well-separated clusters of 20 vectors each
+    cents = rng.randn(3, 32).astype(np.float32) * 10
+    rows = []
+    for i in range(60):
+        v = cents[i % 3] + rng.randn(32).astype(np.float32) * 0.5
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in cents[0]]
+
+    cb1 = SIM.ivf_train_centroids(df, n_centroids=6, refine_iters=1)
+    cb2 = SIM.ivf_train_centroids(df, n_centroids=6, refine_iters=1)
+    assert cb1 == cb2  # deterministic codebook (hash-sampled seeds)
+
+    got = [r["vec_id"] for r in
+           SIM.ivf_ann_topk(df, q, k=10, n_centroids=6, n_probe=2, centroids=cb1).collect()]
+    exact = [r["vec_id"] for r in SIM.cosine_topk(df, q, k=10).collect()]
+    # the query cluster's cell is among the probed cells -> high recall
+    assert len(set(got) & set(exact)) >= 8
+
+    cells = SIM.ivf_assign(df, cb1).collect()
+    assert len(cells) == 60
+    assert all(0 <= r["cell"] < 6 for r in cells)
+    # well-separated clusters -> no IVF cell mixes two true clusters
+    # (a cluster may span several cells when several seeds landed in it,
+    # but a cell never spans clusters)
+    by_cell = {}
+    for r in cells:
+        by_cell.setdefault(r["cell"], set()).add(r["vec_id"] % 3)
+    assert all(len(s) == 1 for s in by_cell.values())
+
+
 def test_embedding_near_dup_pairs(spark):
     v = [1.0] * 8
     w = [1.0] * 7 + [0.9]

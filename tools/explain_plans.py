@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Dump the physical plans of the engine's load-bearing dataflows into
+EXPLAIN.md, annotated with what to look for at 100 TB scale:
+
+- parquet scans must show ReadSchema pruned to the consumed columns and
+  PushedFilters / partition pruning for term-bucket lookups,
+- the hot expressions must sit inside WholeStageCodegen spans,
+- small-side joins must be BroadcastHashJoin, big aggregations
+  partial->final HashAggregate (map-side combine).
+
+Run: python tools/explain_plans.py  (writes /root/repo/EXPLAIN.md)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def trim(plan: str, max_lines: int = 120) -> str:
+    lines = plan.rstrip().splitlines()
+    if len(lines) > max_lines:
+        lines = lines[:max_lines] + [f"... ({len(lines) - max_lines} more lines)"]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from web_based_search_engine_spark.config import IndexConfig, ScoringConfig
+    from web_based_search_engine_spark.fixtures import corpus_df
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.plans.query import QueryEngine
+    from web_based_search_engine_spark.session import get_spark
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+
+    spark = get_spark("explain", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections: list[tuple[str, str, str]] = []
+
+    # --- build dataflow (unmaterialized composition) -----------------------
+    from web_based_search_engine_spark.operators import postings as P
+
+    corpus = corpus_df(spark, 300, num_partitions=4)
+    cfg = IndexConfig(num_term_buckets=4, block_size=16, salt_buckets=4)
+    frames = P.build_index_frames(P.prepare_corpus(corpus), cfg)
+    sections.append((
+        "Build: positional postings + vocab join",
+        "The one big shuffle is the (doc_id, term) HashAggregate; both its "
+        "halves are partial->final (map-side combine bounds shuffle volume "
+        "by distinct pairs, not token count).  The term-id join carries no "
+        "positions on the vocab side.",
+        plan_of(frames.postings),
+    ))
+    sections.append((
+        "Build: salted df/cf aggregation (vocab)",
+        "Two stacked HashAggregates: (term, salt) partial then term final — "
+        "the explicit two-phase salted aggregation for hot terms; the dense "
+        "term-id assignment adds one range shuffle over distinct terms only.",
+        plan_of(frames.vocab),
+    ))
+
+    # --- stored-index query path ------------------------------------------
+    with tempfile.TemporaryDirectory() as wd:
+        storage = ParquetIndexStorage(wd)
+        IndexBuilder(spark, storage, cfg).build(corpus, resume=False)
+        qe = QueryEngine(spark, storage, ScoringConfig(scorer="bm25"), mode="columnar")
+        sections.append((
+            "Query (columnar): BM25 over the postings table",
+            "The Scan parquet of `postings` must show PartitionFilters on "
+            "`bucket` (driver-side vocab lookup -> bucket IN-list: a B-bucket "
+            "layout reads |query-term buckets|/B of the table) plus "
+            "PushedFilters on term_id; scoring is one codegen span ending in "
+            "TakeOrderedAndProject(k=50).",
+            plan_of(qe.search("merge_sort searching", assemble=False)),
+        ))
+        qe_blocks = QueryEngine(spark, storage, ScoringConfig(scorer="bm25"), mode="blocks")
+        sections.append((
+            "Query (blocks): block-max WAND over compressed blocks",
+            "Scan parquet of `blocks` with the same bucket PartitionFilters; "
+            "block decode + WAND heap run in one ArrowEvalPython/mapInPandas "
+            "stage over pruned block rows only.",
+            plan_of(qe_blocks.search("merge_sort searching", assemble=False)),
+        ))
+
+    # --- driver-contract queries ------------------------------------------
+    qs = entry.queries()
+    for name, blurb in [
+        ("q05_bm25_top50", "Ad-hoc BM25 (index-free): tokenize -> explode -> "
+         "two-phase aggregate -> broadcast stats join -> TakeOrderedAndProject."),
+        ("q17_minhash_near_dups", "MinHash LSH: signature HashAggregate, band "
+         "explode, bucket self-pairing, Jaccard verify joins."),
+    ]:
+        sections.append((f"Driver query: {name}", blurb, plan_of(qs[name](spark, SF_DIR))))
+
+    checks = []
+    joined = "\n".join(p for _, _, p in sections)
+    for marker in ("PushedFilters", "PartitionFilters", "WholeStageCodegen",
+                   "BroadcastHashJoin", "HashAggregate"):
+        checks.append(f"- `{marker}`: {joined.count(marker)} occurrences")
+
+    with open("/root/repo/EXPLAIN.md", "w") as f:
+        f.write("# EXPLAIN — physical plans of the load-bearing dataflows\n\n")
+        f.write("Generated by `tools/explain_plans.py` on the sf0.001/F1 "
+                "fixtures (plans are scale-invariant; row counts are not).\n\n")
+        f.write("Marker counts across all plans below:\n\n")
+        f.write("\n".join(checks) + "\n")
+        for title, blurb, plan in sections:
+            f.write(f"\n## {title}\n\n{blurb}\n\n```\n{trim(plan)}\n```\n")
+    print("wrote /root/repo/EXPLAIN.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

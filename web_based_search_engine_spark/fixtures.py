@@ -111,7 +111,8 @@ def corpus_df(spark: SparkSession, n_docs: int = 2000, seed: int = 42,
 
 
 def corpus_df_distributed(
-    spark: SparkSession, n_docs: int, num_partitions: int | None = None
+    spark: SparkSession, n_docs: int, num_partitions: int | None = None,
+    token_mult: int = 1,
 ) -> DataFrame:
     """Fully-distributed deterministic corpus synthesis (bench scale,
     FIXTURES.md: 200k+ rows for the local[8]/local[32] scaling run).
@@ -120,6 +121,10 @@ def corpus_df_distributed(
     expressions; content tokens are drawn from the F1 vocabulary with a
     Zipf-ish skew (u^3 index bias -> hot head terms), all derived from
     ``xxhash64`` so the corpus is identical across runs and partitionings.
+
+    ``token_mult`` scales document length (~64 * mult tokens/doc).  The
+    scaling bench uses mult=4 (~256 tokens/doc — realistic source files);
+    the default keeps the historical short-doc corpus for tests.
     """
     from pyspark.sql import functions as F
 
@@ -129,7 +134,7 @@ def corpus_df_distributed(
 
     base = spark.range(0, n_docs, 1, num_partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
-    n_tok = (F.pmod(F.xxhash64(i, F.lit("len")), F.lit(113)) + 8).cast("int")
+    n_tok = ((F.pmod(F.xxhash64(i, F.lit("len")), F.lit(113)) + 8) * token_mult).cast("int")
     # u in [0,1) from a per-(doc,pos) hash; idx = floor(nv * u^3) skews hot
     body = F.concat_ws(
         " ",

@@ -37,7 +37,14 @@ def assign_dense_ids(
 
     ``df`` must be unique on ``key_cols`` (duplicate keys would get distinct
     ids — call ``dropDuplicates`` first if needed).
+
+    The ids depend only on the global key order — NOT on how many range
+    buckets the rows land in — so the bucket count is a pure parallelism
+    knob: cap it at 4x the session's core count (a 256-task range shuffle
+    over a small corpus is per-task overhead, not parallelism; at cluster
+    scale defaultParallelism is large and the cap is a no-op).
     """
+    num_buckets = max(4, min(num_buckets, df.sparkSession.sparkContext.defaultParallelism * 4))
     ranged = df.repartitionByRange(num_buckets, *[F.col(k) for k in key_cols])
     local = ranged.sortWithinPartitions(*key_cols).withColumn(
         "_mid", F.monotonically_increasing_id()

@@ -8,6 +8,11 @@
   hyperplanes are deterministic pseudo-random vectors derived from
   xxhash64(plane, dim) — reproducible across runs with no stored model.
 - embedding-cosine near-duplicate pairs: bucket-join variant for dedup.
+- IVF (inverted-file) ANN: deterministic hash-sampled seeds + Lloyd
+  refinement passes -> per-vector nearest-centroid assignment (the
+  "posting list" partition key); queries probe only the ``n_probe``
+  nearest centroid cells.  At 100 TB the assignment is the partition
+  column of the stored index, so a probe reads n_probe/C of the data.
 """
 
 from __future__ import annotations
@@ -113,6 +118,108 @@ def lsh_ann_topk(
     sigs = lsh_bucket_signatures(embeddings, id_col, vec_col, num_planes, dim)
     cand = embeddings.join(
         sigs.where(F.col("bucket").isin(probe)).select(id_col), id_col, "left_semi"
+    )
+    return cosine_topk(cand, query_vec, id_col, vec_col, k)
+
+
+def _nearest_centroid_expr(vec_col, centroids: list[list[float]]):
+    """argmax over centroids of dot(vec, c/|c|) — cosine argmax without the
+    per-row norm (common factor).  Deterministic tiebreak: smallest id.
+    Returns an int column.  C stays driver-side (<= a few hundred), so this
+    is a pure Catalyst expression — no UDF, no join, no shuffle."""
+    import math
+
+    entries = []
+    for cid, c in enumerate(centroids):
+        norm = math.sqrt(sum(x * x for x in c)) or 1.0
+        unit = [x / norm for x in c]
+        entries.append(F.struct(_dot_lit(vec_col, unit).alias("sim"), F.lit(-cid).alias("nid")))
+    best = F.array_max(F.array(*entries))
+    return (-best["nid"]).cast("int")
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    refine_iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic IVF codebook: hash-sample ~n_centroids seed vectors
+    (xxhash64(id) order — reproducible, scan-only, no global sort), then
+    ``refine_iters`` Lloyd passes (assign -> per-cell mean).  The mean is
+    computed by posexplode + groupBy(cell, dim) — fully distributed; only
+    the C x dim codebook ever reaches the driver."""
+    seeds = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit("ivf-seed")))
+        .limit(n_centroids)
+        .orderBy("_id")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["_v"]] for r in seeds]
+    for _ in range(refine_iters):
+        assigned = embeddings.select(
+            _nearest_centroid_expr(F.col(vec_col), centroids).alias("_cell"),
+            F.col(vec_col).alias("_v"),
+        )
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_dim", "_x"))
+            .groupBy("_cell", "_dim")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .collect()
+        )
+        new = {c: dict() for c in range(len(centroids))}
+        for r in means:
+            new[r["_cell"]][r["_dim"]] = r["_m"]
+        centroids = [
+            [new[c][d] for d in sorted(new[c])] if new.get(c) else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, cell): inverted-file assignment.  ``cell`` is the partition
+    column of the stored ANN index at scale."""
+    return embeddings.select(
+        F.col(id_col), _nearest_centroid_expr(F.col(vec_col), centroids).alias("cell")
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF probe: rank cells by cosine(query, centroid) driver-side, scan
+    the ``n_probe`` best cells, exact cosine within the candidate set."""
+    import math
+
+    if centroids is None:
+        centroids = ivf_train_centroids(embeddings, id_col, vec_col, n_centroids)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+
+    def cos_to(c):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(float(a) * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    probe = sorted(range(len(centroids)), key=lambda c: (-cos_to(centroids[c]), c))[:n_probe]
+    cells = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cand = embeddings.join(
+        cells.where(F.col("cell").isin([int(p) for p in probe])).select(id_col),
+        id_col,
+        "left_semi",
     )
     return cosine_topk(cand, query_vec, id_col, vec_col, k)
 
