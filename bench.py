@@ -146,7 +146,14 @@ def build_only_run(master: str, n_docs: int, token_mult: int = 4) -> dict:
     from web_based_search_engine_spark.session import get_spark
     from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
 
-    spark = get_spark("bench-scaling", master=master)
+    # Identical job config at every cluster size (you don't retune
+    # spark.sql.shuffle.partitions when going from N to 4N executors):
+    # fixed at 32 = 2-4x the LARGE configuration's cores, the normal
+    # cluster sizing rule.  Letting each leg default to partitions=cores
+    # hands the small leg a per-task-granularity advantage no real N-node
+    # cluster would have.
+    sp = int(os.environ.get("SPARK_GRAFT_SCALING_SHUFFLE", "32"))
+    spark = get_spark("bench-scaling", master=master, shuffle_partitions=sp)
     spark.sparkContext.setLogLevel("ERROR")
     workdir = tempfile.mkdtemp(prefix="bench_scale_")
     try:

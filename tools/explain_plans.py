@@ -110,7 +110,7 @@ def main() -> None:
 
     checks = []
     joined = "\n".join(p for _, _, p in sections)
-    for marker in ("PushedFilters", "PartitionFilters", "WholeStageCodegen",
+    for marker in ("PushedFilters", "PartitionFilters", "codegen id",
                    "BroadcastHashJoin", "HashAggregate"):
         checks.append(f"- `{marker}`: {joined.count(marker)} occurrences")
 

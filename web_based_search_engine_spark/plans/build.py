@@ -85,54 +85,73 @@ class IndexBuilder:
 
     def _run_stages(self, corpus_tok_fn, resume: bool) -> BuildReport:
         t0 = time.time()
-        run: list[str] = []
-        skipped: list[str] = []
+        run: set[str] = set()
+        skipped: set[str] = set()
         stage_seconds: dict[str, float] = {}
         st = self.storage
         cfg = self.cfg
 
         def do(stage: str, fn, partition_by=None):
             if resume and st.stage_done(stage):
-                skipped.append(stage)
+                skipped.add(stage)
                 return
             ts = time.time()
             df = fn()
             st.write_table(df, stage, partition_by=partition_by, stage=stage)
             stage_seconds[stage] = round(time.time() - ts, 3)
-            run.append(stage)
+            run.add(stage)
+
+        # Stage DAG, not a stage list: `links` depends only on corpus_tok
+        # and `forward` only on postings, so both run on helper threads
+        # concurrently with the critical path (Spark schedules concurrent
+        # jobs at task granularity — the small stages' fixed latencies hide
+        # behind the big shuffles instead of adding to the build's serial
+        # floor).  Checkpoint/resume semantics are unchanged: every stage
+        # still commits its own manifest entry (thread-safe in storage).
+        from concurrent.futures import ThreadPoolExecutor
 
         do("corpus_tok", corpus_tok_fn)
-        do("postings_raw", lambda: P.positional_postings(self._read("corpus_tok")))
-        do("vocab", lambda: P.build_vocab(self._read("postings_raw"), cfg))
-        do(
-            "postings",
-            lambda: P.encode_postings(self._read("postings_raw"), self._read("vocab"), cfg),
-            partition_by=["bucket"],
-        )
-        n_docs = self.storage.table_meta("corpus_tok")["rows"]
-        do(
-            "docs",
-            lambda: P.build_docs(
-                self._read("corpus_tok"), self._read("postings"), self._read("vocab"), n_docs
-            ),
-        )
-        do("stats", lambda: P.build_stats(self._read("docs")))
-        do("forward", lambda: P.forward_frame(self._read("postings")))
-        do("links", lambda: L.links_from_corpus_tok(self._read("corpus_tok")))
-        do(
-            "blocks",
-            lambda: B.encode_blocks(
-                self._read("postings"),
-                self._read("docs"),
-                self._read("vocab"),
-                self._read("stats"),
-                cfg,
-            ),
-            partition_by=["bucket"],
-        )
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            links_f = ex.submit(
+                do, "links", lambda: L.links_from_corpus_tok(self._read("corpus_tok"))
+            )
+            do("postings_raw", lambda: P.positional_postings(self._read("corpus_tok")))
+            do("vocab", lambda: P.build_vocab(self._read("postings_raw"), cfg))
+            do(
+                "postings",
+                lambda: P.encode_postings(
+                    self._read("postings_raw"), self._read("vocab"), cfg
+                ),
+                partition_by=["bucket"],
+            )
+            n_docs = self.storage.table_meta("corpus_tok")["rows"]
+            forward_f = ex.submit(
+                do, "forward", lambda: P.forward_frame(self._read("postings"))
+            )
+            do(
+                "docs",
+                lambda: P.build_docs(
+                    self._read("corpus_tok"), self._read("postings"),
+                    self._read("vocab"), n_docs,
+                ),
+            )
+            do("stats", lambda: P.build_stats(self._read("docs")))
+            do(
+                "blocks",
+                lambda: B.encode_blocks(
+                    self._read("postings"),
+                    self._read("docs"),
+                    self._read("vocab"),
+                    self._read("stats"),
+                    cfg,
+                ),
+                partition_by=["bucket"],
+            )
+            links_f.result()
+            forward_f.result()
         return BuildReport(
-            stages_run=run,
-            stages_skipped=skipped,
+            stages_run=[s for s in STAGES if s in run],
+            stages_skipped=[s for s in STAGES if s in skipped],
             seconds=time.time() - t0,
             n_docs=n_docs,
             stage_seconds=stage_seconds,

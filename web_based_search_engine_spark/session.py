@@ -26,12 +26,14 @@ def get_spark(
     if shuffle_partitions is None:
         # Local: match core count; cluster: set explicitly (2-3x total cores).
         shuffle_partitions = max(n_cores, 4)
-    # Local mode runs every task thread inside the single driver JVM; size
-    # the heap with the core count (2g/core, like per-executor memory on a
-    # cluster) but cap it — measured on this box, a 64g heap makes the same
-    # job 1.5-4x SLOWER than 16g (G1 region/clear overhead at high
-    # allocation rates), while 8g starves 32 concurrent collect_list tasks.
-    default_mem = f"{min(16, max(8, 2 * n_cores))}g"
+    # Local mode folds the driver and every executor thread into one JVM,
+    # so the cluster-faithful heap is (fixed driver) + (per-core executor
+    # memory): 4g + 2g/core.  A 4N-core run gets 4x the executor memory of
+    # the N-core run but no more per core — the same shape as adding
+    # executors of a fixed size.  Capped: a 64g heap measured 1.5-4x
+    # SLOWER than 16g on this box (G1 region/clear overhead at high
+    # allocation rates).
+    default_mem = f"{min(20, 4 + 2 * n_cores)}g"
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -45,6 +47,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or default_mem)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseG1GC"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

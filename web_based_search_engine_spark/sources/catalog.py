@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from pathlib import Path
 from typing import Any
@@ -37,6 +38,10 @@ class ParquetIndexStorage:
     def __init__(self, root: str | os.PathLike):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # serializes manifest read-modify-write: the builder runs
+        # independent stages (links / forward) on concurrent threads, and a
+        # lost-update between two commits would drop a table entry
+        self._lock = threading.Lock()
 
     # --- manifest ----------------------------------------------------------
     @property
@@ -81,7 +86,23 @@ class ParquetIndexStorage:
             for p in path.rglob("*.parquet")
             if p.is_file()
         )
-        rows = df.sparkSession.read.parquet(str(path)).count()
+        # row count from parquet footers, driver-side — no Spark job
+        # (a per-stage count() job costs ~0.5-1 s of pure scheduling latency,
+        # 9x per build; footer metadata is exact and already on local disk)
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.ParquetFile(path / f).metadata.num_rows for f in files)
+        with self._lock:
+            return self._commit_entry(
+                m_name=name, version=version, path=path, rows=rows, files=files,
+                partition_by=partition_by, elapsed=elapsed, stage=stage,
+                extra_meta=extra_meta,
+            )
+
+    def _commit_entry(self, m_name, version, path, rows, files, partition_by,
+                      elapsed, stage, extra_meta) -> str:
+        m = self.manifest()  # re-read under lock: pick up concurrent commits
+        name = m_name
         entry = {
             "version": version,
             "path": str(path),
