@@ -251,6 +251,67 @@ def _q_import_link_graph(spark, sf_dir):
     return L.degree_table(L.links_from_corpus_tok(tok))
 
 
+def _q_full_engine_phrase(spark, sf_dir):
+    """Full stored-index path end-to-end: checkpointed build -> block-max
+    WAND BM25 -> phrase semi-join filter -> assembly (engine-only; the
+    pytest rank-identity + WAND==exhaustive oracles cover correctness)."""
+    import tempfile
+
+    from web_based_search_engine_spark.config import IndexConfig, ScoringConfig
+    from web_based_search_engine_spark.fixtures import corpus_df
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.plans.query import QueryEngine
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+
+    storage = ParquetIndexStorage(tempfile.mkdtemp(prefix="q26_idx_"))
+    IndexBuilder(spark, storage, IndexConfig(num_term_buckets=4)).build(
+        corpus_df(spark, 300), resume=False
+    )
+    qe = QueryEngine(spark, storage, ScoringConfig(scorer="bm25"), mode="blocks")
+    out = qe.search('searching "engines retrieval" posting').select(
+        "doc_id", "repo", "path", F.round("score", 6).alias("score")
+    )
+    out = out.cache()
+    out.count()  # materialize before the temp index dir goes cold
+    return out
+
+
+def _q_incremental_upsert(spark, sf_dir):
+    """Freshness-gated upsert (Indexer.isFreshDocument semantics, W8):
+    change 1 in 20 docs' content, incremental_update, return the changed
+    docs' new sha256 rows (engine-only; property-tested in
+    tests/test_incremental.py)."""
+    import tempfile
+
+    from web_based_search_engine_spark.config import IndexConfig
+    from web_based_search_engine_spark.fixtures import corpus_df
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+    from web_based_search_engine_spark.streaming.incremental import incremental_update
+
+    cfg = IndexConfig(num_term_buckets=4)
+    storage = ParquetIndexStorage(tempfile.mkdtemp(prefix="q27_idx_"))
+    corpus = corpus_df(spark, 200)
+    IndexBuilder(spark, storage, cfg).build(corpus, resume=False)
+    changed = corpus.withColumn(
+        "content",
+        F.when(F.col("path").contains("_0."), F.concat(F.col("content"), F.lit(" updated")))
+        .otherwise(F.col("content")),
+    )
+    incremental_update(spark, storage, changed, cfg)
+    docs = storage.read_table(spark, "docs")
+    out = (
+        docs.join(
+            changed.where(F.col("path").contains("_0.")).select("repo", "path", "commit"),
+            ["repo", "path", "commit"],
+        )
+        .select("repo", "path", "sha256")
+        .cache()
+    )
+    out.count()
+    return out
+
+
 def _q_media_image_features(spark, sf_dir):
     from web_based_search_engine_spark.functions.multimodal import (
         image_features,
@@ -296,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_import_link_graph": _q_import_link_graph,
         "q24_ivf_ann_top10": _q_ivf_ann,
         "q25_embedding_near_dups": _q_embedding_near_dups,
+        "q26_full_engine_phrase": _q_full_engine_phrase,
+        "q27_incremental_upsert": _q_incremental_upsert,
     }
 
 

@@ -126,3 +126,16 @@ def test_sha256_invariant(spark, built_index):
     )
     assert joined.count() == built_index["n_docs"]
     assert joined.where(F.col("want") != F.col("sha256")).count() == 0
+
+
+def test_size_bytes_metadata(spark, built_index):
+    """Metadata.pageSize analog: docs.size_bytes == byte length of the raw
+    content per row (Metadata.java:7-12, Crawler.java:90-93)."""
+    from pyspark.sql import functions as F
+
+    docs = built_index["storage"].read_table(spark, "docs")
+    corpus = fixtures.corpus_df(spark, built_index["n_docs"])
+    joined = corpus.withColumn("want", F.octet_length("content").cast("long")).join(
+        docs.select("repo", "path", "commit", "size_bytes"), ["repo", "path", "commit"]
+    )
+    assert joined.where(F.col("want") != F.col("size_bytes")).count() == 0

@@ -63,6 +63,12 @@ def prepare_corpus(corpus: DataFrame, cfg: AnalysisConfig | None = None) -> Data
         corpus.withColumn("title_terms", analyze("path", cfg))
         .withColumn("body_terms", analyze("content", cfg))
         .withColumn("sha256", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+        # Metadata.pageSize analog (Metadata.java:7-12, Crawler.java:90-93):
+        # byte length of the raw content, carried into the docs table
+        .withColumn(
+            "size_bytes",
+            F.octet_length(F.coalesce(F.col("content"), F.lit(""))).cast("long"),
+        )
         .withColumn(
             "refs",
             F.array_distinct(
@@ -107,10 +113,15 @@ def with_doc_ids(prepared: DataFrame, cfg: IndexConfig) -> DataFrame:
         )
     else:
         refs = F.array().cast("array<string>")
+    size_col = (
+        F.col("size_bytes") if "size_bytes" in prepared.columns
+        else F.lit(0).cast("long")  # W7: missing metadata renders size 0
+    )
     base = prepared.select(
         *DOC_KEY,
         "lang",
         "sha256",
+        size_col.alias("size_bytes"),
         F.size("title_terms").cast("int").alias("title_len"),
         F.size("body_terms").cast("int").alias("body_len"),
         "title_terms",

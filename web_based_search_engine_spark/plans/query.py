@@ -142,10 +142,13 @@ class QueryEngine:
         title/len metadata, and the top-5 keywords with frequencies
         (SearchResult.java:33-44; deterministic tiebreak term_id asc)."""
         # broadcast the <=k result side, stream the docs table past it
-        out = self.docs.select(
+        meta_cols = [
             "doc_id", "repo", "path", "commit", "lang",
             "title_len", "body_len", "sha256",
-        ).join(F.broadcast(topk), "doc_id")
+        ]
+        if "size_bytes" in self.docs.columns:  # Metadata.pageSize analog
+            meta_cols.append("size_bytes")
+        out = self.docs.select(*meta_cols).join(F.broadcast(topk), "doc_id")
         if self.forward is not None:
             # top-5 keywords: sort struct(tf desc, term_id asc), slice 5
             kw = self.forward.select(
