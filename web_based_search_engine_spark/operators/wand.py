@@ -98,7 +98,11 @@ def wand_top_k(
     # pruned scan) costs more than decoding everything once.
     if prune == "auto":
         est_blocks = sum((r["df"] + 127) // 128 for r in qt)
-        prune = est_blocks > 256
+        # crossover measured on local[32]/sf0.1: the pruning dance adds two
+        # driver jobs (~0.6-0.9 s); decoding ~2k blocks (~256k postings)
+        # costs about the same, so prune only above that.  At cluster scale
+        # hot terms have millions of blocks and pruning always engages.
+        prune = est_blocks > 2048
 
     if not prune:
         return top_k(
