@@ -335,6 +335,11 @@ def encode_group_arrow(tbl: "pa.Table", block_size: int) -> "pa.Table":
     def bin_col(buf: bytes, value_off: np.ndarray, row_bounds: np.ndarray) -> pa.BinaryArray:
         # blocks tile the buffer: block b spans bytes
         # value_off[row_bounds[b]] .. value_off[row_bounds[b+1]]
+        if len(buf) >= (1 << 31):  # pa.binary() offsets are int32
+            raise ValueError(
+                f"encode group produced a {len(buf)}-byte stream (>2GiB); "
+                "raise IndexConfig.encode_salt so term-groups shrink"
+            )
         byte_offs = value_off[row_bounds].astype(np.int32)
         return pa.BinaryArray.from_buffers(
             pa.binary(), len(row_bounds) - 1,
