@@ -32,6 +32,19 @@ from web_based_search_engine_spark.operators import similarity as SIM
 
 RAW = AnalysisConfig.raw()
 
+
+def _tmp_index_dir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: the engine-lifecycle queries (q26/q27)
+    build a throwaway index; reap it at process exit (results are cached +
+    counted before return, so the data is never read after that)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
 BM25_TERMS = ["merge", "scan", "join"]
 PHRASE = ("table", "scan")
 
@@ -255,15 +268,13 @@ def _q_full_engine_phrase(spark, sf_dir):
     """Full stored-index path end-to-end: checkpointed build -> block-max
     WAND BM25 -> phrase semi-join filter -> assembly (engine-only; the
     pytest rank-identity + WAND==exhaustive oracles cover correctness)."""
-    import tempfile
-
     from web_based_search_engine_spark.config import IndexConfig, ScoringConfig
     from web_based_search_engine_spark.fixtures import corpus_df
     from web_based_search_engine_spark.plans.build import IndexBuilder
     from web_based_search_engine_spark.plans.query import QueryEngine
     from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
 
-    storage = ParquetIndexStorage(tempfile.mkdtemp(prefix="q26_idx_"))
+    storage = ParquetIndexStorage(_tmp_index_dir("q26_idx_"))
     IndexBuilder(spark, storage, IndexConfig(num_term_buckets=4)).build(
         corpus_df(spark, 300), resume=False
     )
@@ -281,8 +292,6 @@ def _q_incremental_upsert(spark, sf_dir):
     change 1 in 20 docs' content, incremental_update, return the changed
     docs' new sha256 rows (engine-only; property-tested in
     tests/test_incremental.py)."""
-    import tempfile
-
     from web_based_search_engine_spark.config import IndexConfig
     from web_based_search_engine_spark.fixtures import corpus_df
     from web_based_search_engine_spark.plans.build import IndexBuilder
@@ -290,7 +299,7 @@ def _q_incremental_upsert(spark, sf_dir):
     from web_based_search_engine_spark.streaming.incremental import incremental_update
 
     cfg = IndexConfig(num_term_buckets=4)
-    storage = ParquetIndexStorage(tempfile.mkdtemp(prefix="q27_idx_"))
+    storage = ParquetIndexStorage(_tmp_index_dir("q27_idx_"))
     corpus = corpus_df(spark, 200)
     IndexBuilder(spark, storage, cfg).build(corpus, resume=False)
     changed = corpus.withColumn(

@@ -221,8 +221,13 @@ def scaling_run(sf_dir: str) -> dict:
                 [sys.executable, "-c", code], capture_output=True, text=True,
                 cwd="/root/repo",
             )
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("@@")][-1]
-            runs[n].append(json.loads(line[2:]))
+            marked = [ln for ln in p.stdout.splitlines() if ln.startswith("@@")]
+            if p.returncode != 0 or not marked:
+                raise RuntimeError(
+                    f"scaling leg local[{n}] failed (rc={p.returncode});"
+                    f" stderr tail:\n{p.stderr[-4000:]}"
+                )
+            runs[n].append(json.loads(marked[-1][2:]))
     out = {}
     for n in (lo, hi):
         best = max(runs[n], key=lambda r: r["docs_per_sec"])

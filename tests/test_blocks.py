@@ -39,6 +39,56 @@ def test_nested_positions_roundtrip(pos_lists):
         assert got.astype(int).tolist() == list(want)
 
 
+def _fuzz_group_pdf(seed: int, n_terms: int = 7, max_docs: int = 40):
+    """Random applyInPandas-shaped encoder input: several terms, unique
+    sorted-able doc ids per term, random tfs and sorted position lists."""
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for t in range(n_terms):
+        term_id = int(rng.randint(1, 1000))
+        docs = np.sort(rng.choice(10_000, size=rng.randint(1, max_docs), replace=False))
+        for d in docs:
+            tpos = np.sort(rng.choice(500, size=rng.randint(0, 6), replace=False))
+            bpos = np.sort(rng.choice(500, size=rng.randint(0, 9), replace=False))
+            if len(tpos) == 0 and len(bpos) == 0:
+                bpos = np.array([int(rng.randint(0, 500))])
+            rows.append(
+                {
+                    "bucket": 3,
+                    "term_id": term_id,
+                    "doc_id": int(d),
+                    "title_tf": len(tpos),
+                    "body_tf": len(bpos),
+                    "title_pos": tpos.astype(np.int64).tolist(),
+                    "body_pos": bpos.astype(np.int64).tolist(),
+                    "bm25": float(rng.rand() * 10),
+                }
+            )
+    return pd.DataFrame(rows).sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+
+def test_encoders_byte_identical():
+    """encode_group_arrow == encode_group_pdf == row-wise reference encoder,
+    byte-for-byte, on fuzzed groups (the equivalence both docstrings claim)."""
+    import pyarrow as pa
+
+    for seed in (1, 7, 42):
+        pdf = _fuzz_group_pdf(seed)
+        for block_size in (4, 128):
+            want = B.encode_group_pdf_rowwise(pdf.copy(), block_size)
+            got_pdf = B.encode_group_pdf(pdf.copy(), block_size)
+            tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+            got_arrow = B.encode_group_arrow(tbl, block_size).to_pandas()
+            for got in (got_pdf, got_arrow):
+                g = got.sort_values(["term_id", "block_id"]).reset_index(drop=True)
+                w = want.sort_values(["term_id", "block_id"]).reset_index(drop=True)
+                assert len(g) == len(w) and len(g) > 0
+                for col in want.columns:
+                    assert g[col].tolist() == w[col].tolist(), (seed, block_size, col)
+
+
 def test_block_roundtrip_against_postings(spark, built_index):
     """Stored compressed blocks decode back to exactly the postings table
     (ids, tfs, positions) — encode∘decode == id end-to-end through parquet."""

@@ -102,8 +102,11 @@ def lsh_candidate_pairs(
 
     groupBy(band_key) + in-bucket pairing via collect_list + explode;
     ``max_bucket_size`` caps degenerate buckets (pair count is quadratic in
-    bucket size — at 10^12 docs an uncapped hot bucket is a job-killer; the
-    cap is logged in the result via the ``truncated`` flag column)."""
+    bucket size — at 10^12 docs an uncapped hot bucket is a job-killer).
+    The cap is NOT silent: every output pair carries a
+    ``from_truncated_bucket`` flag (true iff any bucket that produced the
+    pair overflowed the cap, i.e. recall may be lost around these docs), and
+    ``lsh_bucket_stats`` reports how many buckets/docs the cap dropped."""
     rows_per_band = num_hashes // bands
     banded = signatures.select(
         F.col(id_col),
@@ -126,6 +129,7 @@ def lsh_candidate_pairs(
     ).where(F.size("ids") > 1)
     pairs = (
         buckets.select(
+            "truncated",
             F.explode(
                 F.flatten(
                     F.transform(
@@ -138,12 +142,58 @@ def lsh_candidate_pairs(
                         ),
                     )
                 )
-            ).alias("p")
+            ).alias("p"),
         )
-        .select(F.col("p.id_a").cast("long").alias("id_a"), F.col("p.id_b").cast("long").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("p.id_a").cast("long").alias("id_a"),
+            F.col("p.id_b").cast("long").alias("id_b"),
+            "truncated",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("truncated").alias("from_truncated_bucket"))
     )
     return pairs
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Recall-loss accounting for the LSH bucket cap -> one row
+    ``(n_buckets, n_truncated_buckets, n_docs_dropped)``.
+
+    ``n_docs_dropped`` counts (bucket, doc) memberships beyond the cap —
+    docs whose candidate pairs in that bucket were never generated.  Emit
+    this next to ``lsh_candidate_pairs`` in any pipeline where silent
+    recall loss matters (at 10^12 docs a single hot bucket can hide
+    millions of pairs)."""
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("n") > max_bucket_size).cast("long")).alias("n_truncated_buckets"),
+        F.sum(
+            F.greatest(F.col("n") - max_bucket_size, F.lit(0))
+        ).alias("n_docs_dropped"),
+    )
 
 
 def ngram_jaccard(

@@ -110,13 +110,22 @@ class IndexBuilder:
         # still commits its own manifest entry (thread-safe in storage).
         from concurrent.futures import ThreadPoolExecutor
 
+        def surface(*futures):
+            # re-raise a helper-thread failure as soon as it is visible
+            # instead of only after the expensive critical path completes
+            for f in futures:
+                if f is not None and f.done():
+                    f.result()
+
         do("corpus_tok", corpus_tok_fn)
         with ThreadPoolExecutor(max_workers=2) as ex:
             links_f = ex.submit(
                 do, "links", lambda: L.links_from_corpus_tok(self._read("corpus_tok"))
             )
             do("postings_raw", lambda: P.positional_postings(self._read("corpus_tok")))
+            surface(links_f)
             do("vocab", lambda: P.build_vocab(self._read("postings_raw"), cfg))
+            surface(links_f)
             do(
                 "postings",
                 lambda: P.encode_postings(
@@ -136,6 +145,7 @@ class IndexBuilder:
                 ),
             )
             do("stats", lambda: P.build_stats(self._read("docs")))
+            surface(links_f, forward_f)
             do(
                 "blocks",
                 lambda: B.encode_blocks(

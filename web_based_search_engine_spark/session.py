@@ -7,6 +7,7 @@ Local mode for tests/bench; on a real cluster the same config is applied via
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -21,8 +22,15 @@ def get_spark(
     cores = os.environ.get("SPARK_GRAFT_CPUS")
     if master == "local[*]" and cores:
         master = f"local[{cores}]"
-    n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-    n_cores = 32 if n in ("*", "") else max(int(n), 1)
+    # "local[4]" -> 4; "local[4,2]" (core,maxRetries) -> 4; "local" -> 1;
+    # "local[*]" / non-local masters -> conservative 32 (heap cap applies)
+    m = re.match(r"local\[(\d+)", master)
+    if m:
+        n_cores = max(int(m.group(1)), 1)
+    elif master == "local":
+        n_cores = 1
+    else:
+        n_cores = 32
     if shuffle_partitions is None:
         # Local: match core count; cluster: set explicitly (2-3x total cores).
         shuffle_partitions = max(n_cores, 4)
