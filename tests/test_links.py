@@ -157,3 +157,17 @@ def test_builder_links_stage_and_assembly(spark, built_index):
     for row in out:
         for child in (row["child_ids"] or []):
             assert row["doc_id"] in ins[child]
+    # neighbor ids are decoded to paths (buildSearchResult parity,
+    # Indexer.java:194-231): aligned with the id lists, values from docs
+    docs = storage.read_table(spark, "docs")
+    path_of = {r["doc_id"]: r["path"] for r in docs.select("doc_id", "path").collect()}
+    saw_neighbor = False
+    for row in out:
+        for ids_col, paths_col in (("parent_ids", "parent_paths"),
+                                   ("child_ids", "child_paths")):
+            ids, paths = row[ids_col], row[paths_col]
+            if ids:
+                saw_neighbor = True
+                assert paths is not None and len(paths) == len(ids)
+                assert [path_of[i] for i in ids] == list(paths)
+    assert saw_neighbor, "query should hit at least one linked doc"

@@ -114,6 +114,25 @@ def test_wand_equals_exhaustive(spark, built_index):
         ], terms
 
 
+def test_term_dictionary_cache(spark, built_index):
+    """The driver-side term cache (VERDICT r1 #7) resolves repeated query
+    terms without re-scanning vocab, caches negatives, and never changes
+    results: a repeated query is bit-identical, and the cache holds only
+    the queried terms (never the full vocabulary)."""
+    qe = _engine(spark, built_index, "blocks", "bm25")
+    q = "searching engines zzqqxx"
+    first = [(r["doc_id"], r["score"]) for r in qe.search(q, assemble=False).collect()]
+    assert set(qe._term_cache) == {"search", "engin", "zzqqxx"}
+    assert qe._term_cache["zzqqxx"] is None  # negative entry cached
+    assert qe._term_cache["search"]["term"] == "search"
+    # poison the vocab reference: a cache hit must not touch it
+    real_vocab = qe.vocab
+    qe.vocab = None
+    second = [(r["doc_id"], r["score"]) for r in qe.search(q, assemble=False).collect()]
+    qe.vocab = real_vocab
+    assert first == second and len(first) > 0
+
+
 def test_sha256_invariant(spark, built_index):
     """Per-row content invariant: docs.sha256 == sha256 of the corpus
     content for every (repo, path, commit) (BASELINE.json input_hint)."""

@@ -37,18 +37,21 @@ def phrase_doc_ids(
     postings: DataFrame,
     vocab: DataFrame,
     phrase_terms: list[str],
+    term_rows: list[dict] | None = None,
 ) -> DataFrame:
     """Docs containing ``phrase_terms`` adjacently -> DataFrame(doc_id).
 
     ``phrase_terms`` are analyzed terms in phrase order (stop/stem already
-    applied by the query parser, Indexer.java:260-269).
+    applied by the query parser, Indexer.java:260-269).  ``term_rows``:
+    pre-resolved vocab rows (QueryEngine dictionary cache).
     """
     spark = postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long")
     if not phrase_terms:
         return empty
 
-    by_term = {r["term"]: r for r in lookup_terms(vocab, phrase_terms)}
+    rows = term_rows if term_rows is not None else lookup_terms(vocab, phrase_terms)
+    by_term = {r["term"]: r for r in rows}
     if any(t not in by_term for t in phrase_terms):
         return empty
 

@@ -69,15 +69,20 @@ def score_query_terms(
     n_docs: int,
     avg_doc_len: float,
     cfg: ScoringConfig | None = None,
+    term_rows: list[dict] | None = None,
 ) -> DataFrame:
     """Disjunctive ranked scoring of ``terms`` -> DataFrame(doc_id, score).
 
     The postings scan is pruned two ways before any shuffle: storage-bucket
     partition pruning (``bucket`` is a partition column of the stored table)
     and a term_id IN-list pushed to the parquet reader.
+
+    ``term_rows``: pre-resolved vocabulary rows for ``terms`` (the
+    QueryEngine's driver-side dictionary cache) — passing them skips the
+    per-query vocab-scan job.
     """
     cfg = cfg or ScoringConfig()
-    qt = lookup_terms(vocab, terms)
+    qt = term_rows if term_rows is not None else lookup_terms(vocab, terms)
     spark = postings.sparkSession
     if not qt:
         return spark.createDataFrame([], "doc_id long, score double")

@@ -69,6 +69,7 @@ def wand_top_k(
     cfg: ScoringConfig | None = None,
     prune: bool | str = "auto",
     candidates: DataFrame | None = None,
+    term_rows: list[dict] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a disjunctive BM25 query over the block
     index.  ``prune=False`` gives the exhaustive scorer over the same
@@ -76,11 +77,12 @@ def wand_top_k(
     restricts the ranking to a doc subset (phrase semi-join) BEFORE the
     top-k cut; pruning stays lossless — block upper bounds still dominate
     candidate docs' true scores and the seed threshold is computed on the
-    restricted set."""
+    restricted set.  ``term_rows``: pre-resolved vocab rows (QueryEngine
+    dictionary cache) — skips the per-query vocab-scan job."""
     cfg = cfg or ScoringConfig()
     assert cfg.scorer == "bm25", "WAND upper bounds require the additive BM25 scorer"
     spark = blocks.sparkSession
-    qt = lookup_terms(vocab, terms)
+    qt = term_rows if term_rows is not None else lookup_terms(vocab, terms)
     if not qt:
         return spark.createDataFrame([], "doc_id long, score double")
 

@@ -84,6 +84,31 @@ class QueryEngine:
         st = storage.read_table(spark, "stats").collect()[0]
         self.n_docs = int(st["n_docs"])
         self.avg_doc_len = float(st["avg_doc_len"] or 1.0)
+        # Driver-side term-dictionary cache (VERDICT r1 #7): term -> vocab
+        # row dict, or None for a confirmed-absent term.  Only terms that
+        # were actually queried are ever cached (the full vocabulary is
+        # never collected); the engine instance is pinned to the manifest
+        # version it loaded at init, so a rebuild means a new engine and a
+        # fresh cache.
+        self._term_cache: dict[str, dict | None] = {}
+
+    def _lookup_cached(self, terms: list[str]) -> list[dict]:
+        """Resolve ``terms`` against the vocab through the cache; at most
+        one vocab-scan job per query, and zero for repeated terms."""
+        from ..operators.scoring import lookup_terms
+
+        missing = [t for t in dict.fromkeys(terms) if t not in self._term_cache]
+        if missing:
+            found = {r["term"]: r for r in lookup_terms(self.vocab, missing)}
+            for t in missing:
+                self._term_cache[t] = found.get(t)
+        out, seen = [], set()
+        for t in terms:
+            r = self._term_cache.get(t)
+            if r is not None and t not in seen:
+                seen.add(t)
+                out.append(r)
+        return out
 
     # ------------------------------------------------------------------ api
     def search(self, query: str, k: int | None = None, assemble: bool = True) -> DataFrame:
@@ -111,7 +136,12 @@ class QueryEngine:
         # phrase filters BEFORE the top-k cut and never changes scores
         # (Indexer.java:270-276); candidates restrict WAND's ranking set
         candidates = (
-            phrase_doc_ids(self.postings, self.vocab, phrase) if phrase else None
+            phrase_doc_ids(
+                self.postings, self.vocab, phrase,
+                term_rows=self._lookup_cached(phrase),
+            )
+            if phrase
+            else None
         )
         scored = self._score(terms, candidates)
         result = top_k(scored, k)
@@ -119,6 +149,7 @@ class QueryEngine:
 
     # ------------------------------------------------------------ internals
     def _score(self, terms: list[str], candidates: DataFrame | None = None) -> DataFrame:
+        term_rows = self._lookup_cached(terms)
         if self.mode == "blocks" and self.blocks is not None and self.scoring.scorer == "bm25":
             # wand_top_k prunes and limits internally; re-limit happens in
             # search_terms (idempotent on an already-top-k frame)
@@ -126,10 +157,12 @@ class QueryEngine:
                 self.blocks, self.docs, self.vocab, terms,
                 self.n_docs, self.avg_doc_len, self.scoring,
                 candidates=candidates,
+                term_rows=term_rows,
             )
         scored = score_query_terms(
             self.postings, self.docs, self.vocab, terms,
             self.n_docs, self.avg_doc_len, self.scoring,
+            term_rows=term_rows,
         )
         if candidates is not None:
             scored = scored.join(candidates, "doc_id", "left_semi")
@@ -193,23 +226,42 @@ class QueryEngine:
             # parent/child link lists (SearchResult parity via LinkIndexer
             # getParentLinks/getChildLinks, LinkIndexer.java:100-121): the
             # edge scan is filtered to the <=k result docs first, so each
-            # side is a broadcast semi-join + tiny agg
+            # side is a broadcast semi-join + tiny agg.  Neighbor ids are
+            # then decoded to paths, matching buildSearchResult's docId->URL
+            # decode of parent/child links (Indexer.java:194-231): the tiny
+            # filtered edge set is the broadcast side, the docs table is
+            # streamed past it — no docs shuffle.
             ids = topk.select("doc_id")
-            parents = (
-                self.links.join(
-                    F.broadcast(ids.withColumnRenamed("doc_id", "dst_doc_id")),
-                    "dst_doc_id",
-                )
-                .groupBy(F.col("dst_doc_id").alias("doc_id"))
-                .agg(F.sort_array(F.collect_set("src_doc_id")).alias("parent_ids"))
+            nbr_paths = self.docs.select(
+                F.col("doc_id").alias("_nbr_id"), F.col("path").alias("_nbr_path")
             )
-            children = (
-                self.links.join(
-                    F.broadcast(ids.withColumnRenamed("doc_id", "src_doc_id")),
-                    "src_doc_id",
+
+            def neighbor_lists(key_col: str, nbr_col: str, prefix: str) -> DataFrame:
+                edges = self.links.join(
+                    F.broadcast(ids.withColumnRenamed("doc_id", key_col)), key_col
                 )
-                .groupBy(F.col("src_doc_id").alias("doc_id"))
-                .agg(F.sort_array(F.collect_set("dst_doc_id")).alias("child_ids"))
-            )
+                return (
+                    F.broadcast(edges)
+                    .join(nbr_paths, F.col(nbr_col) == F.col("_nbr_id"))
+                    .groupBy(F.col(key_col).alias("doc_id"))
+                    .agg(
+                        F.sort_array(
+                            F.collect_set(
+                                F.struct(
+                                    F.col(nbr_col).alias("id"),
+                                    F.col("_nbr_path").alias("path"),
+                                )
+                            )
+                        ).alias("_n")
+                    )
+                    .select(
+                        "doc_id",
+                        F.transform("_n", lambda s: s["id"]).alias(f"{prefix}_ids"),
+                        F.transform("_n", lambda s: s["path"]).alias(f"{prefix}_paths"),
+                    )
+                )
+
+            parents = neighbor_lists("dst_doc_id", "src_doc_id", "parent")
+            children = neighbor_lists("src_doc_id", "dst_doc_id", "child")
             out = out.join(parents, "doc_id", "left").join(children, "doc_id", "left")
         return out.orderBy(F.desc("score"), F.asc("doc_id"))
