@@ -89,6 +89,28 @@ def test_encoders_byte_identical():
                     assert g[col].tolist() == w[col].tolist(), (seed, block_size, col)
 
 
+def test_decoder_arrow_matches_pdf():
+    """decode_blocks_arrow (cross-block vectorized) == decode_blocks_pdf
+    (per-block loop oracle) on fuzzed encoded blocks, with and without
+    positions."""
+    import pyarrow as pa
+
+    for seed in (3, 11, 42):
+        pdf = _fuzz_group_pdf(seed)
+        enc = B.encode_group_pdf(pdf, block_size=8)
+        for with_pos in (False, True):
+            want = B.decode_blocks_pdf(enc, with_positions=with_pos)
+            got = B.decode_blocks_arrow(
+                pa.Table.from_pandas(enc, preserve_index=False), with_positions=with_pos
+            ).to_pandas()
+            assert len(got) == len(want) and len(got) > 0
+            for col in ("term_id", "doc_id", "title_tf", "body_tf"):
+                assert got[col].astype(int).tolist() == want[col].astype(int).tolist(), (seed, col)
+            if with_pos:
+                for col in ("title_pos", "body_pos"):
+                    assert [list(x) for x in got[col]] == [list(x) for x in want[col]], (seed, col)
+
+
 def test_block_roundtrip_against_postings(spark, built_index):
     """Stored compressed blocks decode back to exactly the postings table
     (ids, tfs, positions) — encode∘decode == id end-to-end through parquet."""

@@ -114,6 +114,51 @@ def test_wand_equals_exhaustive(spark, built_index):
         ], terms
 
 
+class _StorageWithoutPostings:
+    """Storage shim that makes the uncompressed postings table invisible —
+    models a blocks-mode deployment that never materialized it."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def read_table(self, spark, name):
+        if name == "postings":
+            raise AssertionError("blocks mode must not read the postings table")
+        return self._inner.read_table(spark, name)
+
+    def has_table(self, name):
+        return name != "postings" and self._inner.has_table(name)
+
+
+def test_blocks_mode_serves_phrase_without_postings_table(spark, built_index):
+    """Blocks mode (scoring AND phrase) runs entirely off the compressed
+    block index: with the columnar postings table absent, phrase results
+    are rank- and score-identical to the columnar engine (VERDICT r1
+    missing-item 1; one positional structure like PostingIndex.java)."""
+    qe_cols = _engine(spark, built_index, "columnar", "bm25")
+    qe_blocks = QueryEngine(
+        spark,
+        _StorageWithoutPostings(built_index["storage"]),
+        scoring=ScoringConfig(scorer="bm25"),
+        mode="blocks",
+    )
+    for query in [
+        'searching "engines retrieval"',
+        '"foo_bar foo_bar"',
+        'posting "searching engines" index_builder',
+        '"retrieval engines"',
+    ]:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in qe_blocks.search(query, k=K, assemble=False).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in qe_cols.search(query, k=K, assemble=False).collect()
+        ]
+        assert got == want, query
+
+
 def test_term_dictionary_cache(spark, built_index):
     """The driver-side term cache (VERDICT r1 #7) resolves repeated query
     terms without re-scanning vocab, caches negatives, and never changes

@@ -73,9 +73,9 @@ def varint_encode(values: np.ndarray) -> bytes:
     return varint_encode_with_lengths(values)[0]
 
 
-def varint_decode(buf: bytes) -> np.ndarray:
-    """LEB128 bytes -> uint64 array, vectorized."""
-    b = np.frombuffer(buf, dtype=np.uint8)
+def varint_decode(buf) -> np.ndarray:
+    """LEB128 bytes (or uint8 ndarray view) -> uint64 array, vectorized."""
+    b = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (b & 0x80) == 0
@@ -474,10 +474,84 @@ def encode_blocks(
     )
 
 
-def decode_blocks_pdf(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFrame:
-    """Block rows -> flat posting rows (numpy-vectorized per block).
+def _segmented_delta_decode(deltas: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Per-segment cumulative sum where each segment's first value is
+    already absolute: abs_i = cumsum_i - cumsum_at_segment_head + head.
+    Vectorized across ALL segments — the core of the cross-block decoder."""
+    if deltas.size == 0:
+        return deltas
+    c = np.cumsum(deltas, dtype=np.uint64)
+    starts = _cumsum0(seg_lens.astype(np.int64))[:-1]
+    nz = seg_lens > 0
+    base = np.zeros(seg_lens.size, dtype=np.uint64)
+    base[nz] = c[starts[nz]] - deltas[starts[nz]]
+    return c - np.repeat(base, seg_lens.astype(np.int64))
 
-    Used by the WAND scorer (mapInPandas) and the roundtrip property test.
+
+def _binary_concat_view(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow BinaryArray -> (uint8 view of all values concatenated,
+    per-row byte counts) with zero copies: consecutive values tile the
+    chunk's data buffer, so the concatenation IS the buffer slice."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+    return data, np.diff(offsets).astype(np.int64)
+
+
+def decode_blocks_arrow(tbl, with_positions: bool = False):
+    """Arrow block rows -> flat posting rows, vectorized across ALL blocks
+    in the batch (zero per-block Python — the decoder twin of
+    encode_group_arrow; equivalence-tested against decode_blocks_pdf).
+
+    Each logical stream (doc ids, tfs, position lens, positions) is
+    varint-decoded ONCE over the batch-concatenated buffer; per-block
+    structure is recovered from the known counts via segmented cumsums.
+    Position lists are emitted as zero-copy Arrow ListArrays."""
+    import pyarrow as pa
+
+    counts = tbl["count"].to_numpy().astype(np.int64)
+    total = int(counts.sum())
+    out_cols: dict = {}
+    out_cols["term_id"] = pa.array(
+        np.repeat(tbl["term_id"].to_numpy(), counts), type=pa.int64()
+    )
+    doc_data, _ = _binary_concat_view(tbl["doc_ids"])
+    deltas = varint_decode(doc_data)
+    assert deltas.size == total, (deltas.size, total)
+    out_cols["doc_id"] = pa.array(
+        _segmented_delta_decode(deltas, counts).astype(np.int64), type=pa.int64()
+    )
+    for name, col in (("title_tf", "title_tfs"), ("body_tf", "body_tfs")):
+        data, _ = _binary_concat_view(tbl[col])
+        out_cols[name] = pa.array(varint_decode(data).astype(np.int32), type=pa.int32())
+
+    if with_positions:
+        for name, lens_col, pos_col in (
+            ("title_pos", "title_pos_lens", "title_pos"),
+            ("body_pos", "body_pos_lens", "body_pos"),
+        ):
+            lens_data, _ = _binary_concat_view(tbl[lens_col])
+            lens = varint_decode(lens_data).astype(np.int64)
+            assert lens.size == total
+            pos_data, _ = _binary_concat_view(tbl[pos_col])
+            flat = _segmented_delta_decode(varint_decode(pos_data), lens)
+            out_cols[name] = pa.ListArray.from_arrays(
+                pa.array(_cumsum0(lens).astype(np.int32), type=pa.int32()),
+                pa.array(flat.astype(np.int32), type=pa.int32()),
+            )
+    return pa.table(out_cols)
+
+
+def decode_blocks_pdf(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFrame:
+    """Block rows -> flat posting rows (numpy-vectorized per block, Python
+    loop over blocks).  Kept as the equivalence oracle for
+    decode_blocks_arrow and used by the roundtrip property test.
     """
     out_term, out_doc, out_ttf, out_btf = [], [], [], []
     out_tpos, out_bpos = [], []
@@ -515,18 +589,28 @@ def decode_blocks_pdf(pdf: pd.DataFrame, with_positions: bool = False) -> pd.Dat
 
 
 def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
-    """Distributed block decode -> postings-shaped DataFrame."""
+    """Distributed block decode -> postings-shaped DataFrame.
+
+    mapInArrow over a pruned column set: the batch-vectorized decoder never
+    boxes a Python object per row, and position lists leave as zero-copy
+    Arrow ListArrays.  Column pruning here reaches the parquet scan (a
+    score-only decode never reads the position bytes)."""
+    import pyarrow as pa
+
+    cols = ["term_id", "count", "doc_ids", "title_tfs", "body_tfs"]
     if with_positions:
         schema = (
             "term_id long, doc_id long, title_tf int, body_tf int, "
             "title_pos array<int>, body_pos array<int>"
         )
+        cols += ["title_pos_lens", "title_pos", "body_pos_lens", "body_pos"]
     else:
         schema = "term_id long, doc_id long, title_tf int, body_tf int"
 
     def gen(it):
-        for pdf in it:
-            if len(pdf):
-                yield decode_blocks_pdf(pdf, with_positions)
+        for batch in it:
+            if batch.num_rows:
+                out = decode_blocks_arrow(pa.Table.from_batches([batch]), with_positions)
+                yield from out.to_batches()
 
-    return blocks.mapInPandas(gen, schema)
+    return blocks.select(*cols).mapInArrow(gen, schema)

@@ -33,19 +33,41 @@ def _term_postings(postings: DataFrame, term_row: dict) -> DataFrame:
     )
 
 
+def _term_postings_from_blocks(blocks: DataFrame, term_row: dict) -> DataFrame:
+    """One phrase term's positional postings decoded from the compressed
+    block index (bucket partition-pruned + term_id pushed to parquet; the
+    vectorized decoder reads only this term's blocks).  Lets blocks-mode
+    deployments serve phrase without keeping the uncompressed postings
+    table — one positional structure, like PostingIndex.java:184-220."""
+    from . import blocks as B
+
+    sel = blocks.where(
+        (F.col("bucket") == term_row["bucket"])
+        & (F.col("term_id") == term_row["term_id"])
+    )
+    return B.decode_blocks(sel, with_positions=True).select(
+        "doc_id", "title_pos", "body_pos"
+    )
+
+
 def phrase_doc_ids(
-    postings: DataFrame,
+    postings: DataFrame | None,
     vocab: DataFrame,
     phrase_terms: list[str],
     term_rows: list[dict] | None = None,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Docs containing ``phrase_terms`` adjacently -> DataFrame(doc_id).
 
     ``phrase_terms`` are analyzed terms in phrase order (stop/stem already
     applied by the query parser, Indexer.java:260-269).  ``term_rows``:
-    pre-resolved vocab rows (QueryEngine dictionary cache).
+    pre-resolved vocab rows (QueryEngine dictionary cache).  With
+    ``blocks`` given, per-term positions are decoded from the compressed
+    block index and ``postings`` may be None (blocks-mode storage keeps
+    ONE positional structure).
     """
-    spark = postings.sparkSession
+    src = blocks if blocks is not None else postings
+    spark = src.sparkSession
     empty = spark.createDataFrame([], "doc_id long")
     if not phrase_terms:
         return empty
@@ -55,9 +77,14 @@ def phrase_doc_ids(
     if any(t not in by_term for t in phrase_terms):
         return empty
 
-    state = _term_postings(postings, by_term[phrase_terms[0]])
+    def term_df(term: str) -> DataFrame:
+        if blocks is not None:
+            return _term_postings_from_blocks(blocks, by_term[term])
+        return _term_postings(postings, by_term[term])
+
+    state = term_df(phrase_terms[0])
     for term in phrase_terms[1:]:
-        cur = _term_postings(postings, by_term[term]).withColumnsRenamed(
+        cur = term_df(term).withColumnsRenamed(
             {"title_pos": "_cur_title", "body_pos": "_cur_body"}
         )
         state = (
