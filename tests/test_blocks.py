@@ -63,7 +63,8 @@ def _fuzz_group_pdf(seed: int, n_terms: int = 7, max_docs: int = 40):
                     "body_tf": len(bpos),
                     "title_pos": tpos.astype(np.int64).tolist(),
                     "body_pos": bpos.astype(np.int64).tolist(),
-                    "bm25": float(rng.rand() * 10),
+                    "wtf": float(0.9 * len(tpos) + 0.1 * len(bpos)),
+                    "len_d": int(rng.randint(1, 300)),
                 }
             )
     return pd.DataFrame(rows).sample(frac=1.0, random_state=seed).reset_index(drop=True)
@@ -138,4 +139,7 @@ def test_blocks_metadata_consistent(spark, built_index):
     for r in blocks:
         assert 0 < r["count"] <= cfg.block_size
         assert r["first_doc_id"] <= r["last_doc_id"]
-        assert r["block_max_bm25"] > 0
+        # stats-free skip bounds: weighted tf of an existing posting is
+        # > 0 (min field weight 0.1), and a doc with a posting has >= 1 term
+        assert r["max_wtf"] > 0
+        assert r["min_len_d"] >= 1

@@ -1,18 +1,27 @@
-"""Compressed posting blocks: delta-gap + varint, with block-max BM25.
+"""Compressed posting blocks: delta-gap + varint, with block-max skip bounds.
 
 The reference stores posting lists as Java-serialized ``List<Posting>``
 sorted by docId (PostingIndex.java:19-21,74-83).  The rebuild's storage
 format (north_star requirement) is per-term fixed-size blocks:
 
-  (bucket, term_id, block_id, count, first/last_doc_id, block_max_bm25,
+  (bucket, term_id, block_id, count, first/last_doc_id, max_wtf, min_len_d,
    doc_ids: delta-gap varint, title/body tfs: varint,
    title/body positions: per-doc delta-gap varint + varint length list)
 
-``block_max_bm25`` is the max BM25 contribution of any posting in the block
-(computed Catalyst-side before encoding) — the skip metadata for block-max
-WAND pruning (operators/wand.py).  Encoding runs in ``applyInPandas`` over
-storage buckets after an in-group (term_id, doc_id) sort; everything inside
-is vectorized numpy — no per-row Python.
+``max_wtf`` (max field-weighted tf in the block) and ``min_len_d`` (min doc
+length among the block's postings) are the skip metadata for block-max WAND
+pruning (operators/wand.py): the per-block BM25 upper bound
+``idf(df) * (k1+1)*max_wtf / (max_wtf + k1*(1-b+b*min_len_d/avgdl))`` is
+assembled AT QUERY TIME from these two stats-free scalars, because BM25 is
+increasing in tf and decreasing in doc length.  Storing the raw pair instead
+of a precomputed block-max score keeps every block a pure function of its
+own postings + member-doc lengths: no df / corpus-size / avgdl / k1 / b is
+baked into the index, so (a) scoring parameters can change without a
+rebuild, and (b) an incremental upsert that changes global stats leaves
+untouched term buckets byte-identical (partition-granular maintenance).
+Encoding runs in ``applyInArrow`` over storage buckets after an in-group
+(term_id, doc_id) sort; everything inside is vectorized numpy — no per-row
+Python.
 
 The varint codecs are vectorized: encode does <=10 masked passes (one per
 byte position); decode segments the byte stream on terminator bytes
@@ -28,7 +37,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import IndexConfig, ScoringConfig
-from .scoring import bm25_term_score
 
 # ---------------------------------------------------------------------------
 # vectorized varint codec (LEB128, unsigned)
@@ -144,7 +152,8 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("count", T.IntegerType(), False),
         T.StructField("first_doc_id", T.LongType(), False),
         T.StructField("last_doc_id", T.LongType(), False),
-        T.StructField("block_max_bm25", T.DoubleType(), False),
+        T.StructField("max_wtf", T.DoubleType(), False),
+        T.StructField("min_len_d", T.IntegerType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),
         T.StructField("title_tfs", T.BinaryType(), False),
         T.StructField("body_tfs", T.BinaryType(), False),
@@ -192,7 +201,8 @@ def encode_group_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         return pd.DataFrame({c: [] for c in cols})
     term = pdf["term_id"].to_numpy(dtype=np.int64)
     doc = pdf["doc_id"].to_numpy(dtype=np.uint64)
-    bm25 = pdf["bm25"].to_numpy(dtype=np.float64)
+    wtf = pdf["wtf"].to_numpy(dtype=np.float64)
+    len_d = pdf["len_d"].to_numpy(dtype=np.int32)
     bucket = int(pdf["bucket"].iloc[0])
 
     term_change = np.empty(n, dtype=bool)
@@ -209,7 +219,8 @@ def encode_group_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     blk_term = term[starts]
     first_doc = doc[starts].astype(np.int64)
     last_doc = doc[ends - 1].astype(np.int64)
-    blk_max = np.maximum.reduceat(bm25, starts)
+    blk_max_wtf = np.maximum.reduceat(wtf, starts)
+    blk_min_len = np.minimum.reduceat(len_d, starts)
 
     # doc ids: delta within block, absolute at block starts
     d = doc.copy()
@@ -255,7 +266,8 @@ def encode_group_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
                 int(counts[b]),
                 int(first_doc[b]),
                 int(last_doc[b]),
-                float(blk_max[b]),
+                float(blk_max_wtf[b]),
+                int(blk_min_len[b]),
                 doc_buf[doc_off[s]:doc_off[e]],
                 ttf_buf[ttf_off[s]:ttf_off[e]],
                 btf_buf[btf_off[s]:btf_off[e]],
@@ -289,7 +301,8 @@ def encode_group_arrow(tbl: "pa.Table", block_size: int) -> "pa.Table":
 
     term = tbl["term_id"].to_numpy()
     doc = tbl["doc_id"].to_numpy().astype(np.uint64)
-    bm25 = tbl["bm25"].to_numpy()
+    wtf = tbl["wtf"].to_numpy()
+    len_d = tbl["len_d"].to_numpy().astype(np.int32)
     bucket = int(tbl["bucket"][0].as_py())
 
     term_change = np.empty(n, dtype=bool)
@@ -359,7 +372,8 @@ def encode_group_arrow(tbl: "pa.Table", block_size: int) -> "pa.Table":
             "count": pa.array((ends - starts).astype(np.int32)),
             "first_doc_id": pa.array(doc[starts].astype(np.int64)),
             "last_doc_id": pa.array(doc[ends - 1].astype(np.int64)),
-            "block_max_bm25": pa.array(np.maximum.reduceat(bm25, starts)),
+            "max_wtf": pa.array(np.maximum.reduceat(wtf, starts)),
+            "min_len_d": pa.array(np.minimum.reduceat(len_d, starts)),
             "doc_ids": bin_col(doc_buf, doc_off, bounds),
             "title_tfs": bin_col(ttf_buf, ttf_off, bounds),
             "body_tfs": bin_col(btf_buf, btf_off, bounds),
@@ -373,7 +387,8 @@ def encode_group_arrow(tbl: "pa.Table", block_size: int) -> "pa.Table":
 
 _ARROW_TYPES = {
     "bucket": "int32", "term_id": "int64", "block_id": "int32", "count": "int32",
-    "first_doc_id": "int64", "last_doc_id": "int64", "block_max_bm25": "float64",
+    "first_doc_id": "int64", "last_doc_id": "int64",
+    "max_wtf": "float64", "min_len_d": "int32",
     "doc_ids": "binary", "title_tfs": "binary", "body_tfs": "binary",
     "title_pos_lens": "binary", "title_pos": "binary",
     "body_pos_lens": "binary", "body_pos": "binary",
@@ -390,7 +405,8 @@ def encode_group_pdf_rowwise(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame
         doc_ids = g["doc_id"].to_numpy(dtype=np.uint64)
         title_tfs = g["title_tf"].to_numpy(dtype=np.uint64)
         body_tfs = g["body_tf"].to_numpy(dtype=np.uint64)
-        bm25 = g["bm25"].to_numpy(dtype=np.float64)
+        wtf = g["wtf"].to_numpy(dtype=np.float64)
+        len_d = g["len_d"].to_numpy(dtype=np.int32)
         tpos = g["title_pos"].tolist()
         bpos = g["body_pos"].tolist()
         bucket = int(g["bucket"].iloc[0])
@@ -407,7 +423,8 @@ def encode_group_pdf_rowwise(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame
                     hi - lo,
                     int(d[0]),
                     int(d[-1]),
-                    float(bm25[lo:hi].max()),
+                    float(wtf[lo:hi].max()),
+                    int(len_d[lo:hi].min()),
                     varint_encode(delta_encode(d)),
                     varint_encode(title_tfs[lo:hi]),
                     varint_encode(body_tfs[lo:hi]),
@@ -422,35 +439,30 @@ def encode_group_pdf_rowwise(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame
 
 def encode_blocks(
     postings: DataFrame,
-    docs: DataFrame,
-    vocab: DataFrame,
-    stats: DataFrame,
+    doc_lens: DataFrame,
     cfg: IndexConfig | None = None,
     scoring: ScoringConfig | None = None,
 ) -> DataFrame:
     """postings -> compressed block table (partitioned by bucket).
 
-    The BM25 per-posting score used for ``block_max_bm25`` is computed in
-    Catalyst (joins with docs/vocab for len/df) so the pandas stage only
-    sorts, chunks, and varint-packs.
+    ``doc_lens``: (doc_id, len_d) — the only non-posting input.  Blocks are
+    a pure function of (bucket postings, member-doc lengths): no vocab/df
+    join, no stats collect, no BM25 parameters (see module docstring), so
+    the stage can start as soon as postings lands and an upsert re-encodes
+    exactly the touched buckets.  ``scoring.title_weight`` fixes the field
+    weighting of the stored ``max_wtf`` (query-time weight must match —
+    the same 0.9/0.1 contract as the reference, InvertedIndex.java:21).
     """
     cfg = cfg or IndexConfig()
     scoring = scoring or ScoringConfig()
-    st = stats.collect()[0]
-    n_docs, avgdl = int(st["n_docs"]), float(st["avg_doc_len"] or 1.0)
     block_size = cfg.block_size
 
-    enriched = (
-        postings.join(vocab.select("term_id", "df"), "term_id")
-        .join(
-            docs.select("doc_id", (F.col("title_len") + F.col("body_len")).alias("len_d")),
-            "doc_id",
-        )
-        .withColumn("bm25", bm25_term_score(n_docs, avgdl, scoring))
-        .select(
-            "bucket", "term_id", "doc_id", "title_tf", "body_tf",
-            "title_pos", "body_pos", "bm25",
-        )
+    tw = float(scoring.title_weight)
+    enriched = postings.join(doc_lens.select("doc_id", "len_d"), "doc_id").select(
+        "bucket", "term_id", "doc_id", "title_tf", "body_tf",
+        "title_pos", "body_pos",
+        (tw * F.col("title_tf") + (1.0 - tw) * F.col("body_tf")).alias("wtf"),
+        F.col("len_d").cast("int").alias("len_d"),
     )
 
     def encode_bucket(tbl):

@@ -4,20 +4,31 @@ Distributed adaptation of block-max WAND (Ding & Suel 2011) that keeps the
 pruning *lossless* without doc-at-a-time cursor alignment (which doesn't map
 onto a shared-nothing scan):
 
-1. threshold pass: decode only the single highest-``block_max`` block per
-   query term, score those docs (partial sums), and take the k-th best as
-   the initial threshold tau.  Every partial sum is <= the doc's true
-   score, so tau <= the true k-th best score.
+0. The per-block upper bound is assembled AT QUERY TIME from the stored
+   stats-free pair (``max_wtf``, ``min_len_d``):
+       ub(t, b) = idf(df_t) * (k1+1)*max_wtf / (max_wtf + K(min_len_d))
+   with K(len) = k1*(1-b+b*len/avgdl).  BM25 is increasing in tf and
+   decreasing in doc length, so ub(t, b) >= every posting's true
+   contribution in the block even though (max_wtf, min_len_d) may come
+   from different postings — a (possibly looser) valid bound that keeps
+   the index independent of df/N/avgdl/k1/b (see blocks.py docstring).
+1. threshold pass: decode only the single highest-``ub`` block per query
+   term, score those docs (partial sums), and take the k-th best as the
+   initial threshold tau.  Every partial sum is <= the doc's true score,
+   so tau <= the true k-th best score.
 2. prune: a block (t, b) is skipped iff
-       block_max(t, b) + sum_{t' != t} global_max(t')  <  tau
+       ub(t, b) + sum_{t' != t} global_ub(t')  <  tau
    For any doc d in a skipped block, d's full score <= that upper bound
    < tau <= true k-th score, so d cannot enter the top-k.  Conversely a
    doc whose true score >= tau has every one of its blocks kept (each
    upper bound >= its full score), so it is scored exactly.  Docs partially
    pruned score low and are cut by the final top-k — never wrongly ranked
    into it.  Hence WAND == exhaustive on the top-k set (property-tested).
-3. decode surviving blocks (mapInPandas, numpy varint) -> per-posting BM25
-   -> groupBy(doc_id).sum -> deterministic top-k.
+   global_ub(t) = max over t's blocks of ub(t, b), computed by a tiny agg
+   over the bucket-pruned block *metadata* (binary columns never read) and
+   memoized per term in the engine's ``bounds_cache``.
+3. decode surviving blocks (mapInArrow, cross-block vectorized varint) ->
+   per-posting BM25 -> groupBy(doc_id).sum -> deterministic top-k.
 
 Upper bounds hold only for the additive BM25 scorer (the reference scorer's
 cosine normalization breaks additivity), so WAND is bm25-only.
@@ -59,6 +70,25 @@ def _score_decoded(
     )
 
 
+def _idf(n_docs: int, df: int) -> float:
+    import math
+
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _block_ub_expr(idf_by_term: dict[int, float], avg_doc_len: float,
+                   cfg: ScoringConfig):
+    """Catalyst column: per-block BM25 upper bound from (max_wtf,
+    min_len_d) + the query-time idf of the block's term."""
+    idf_map = F.create_map(
+        *[x for tid, v in idf_by_term.items() for x in (F.lit(tid), F.lit(v))]
+    )
+    denom = F.col("max_wtf") + cfg.k1 * (
+        1.0 - cfg.b + cfg.b * F.col("min_len_d") / F.lit(float(avg_doc_len))
+    )
+    return idf_map[F.col("term_id")] * (cfg.k1 + 1.0) * F.col("max_wtf") / denom
+
+
 def wand_top_k(
     blocks: DataFrame,
     docs: DataFrame,
@@ -70,6 +100,7 @@ def wand_top_k(
     prune: bool | str = "auto",
     candidates: DataFrame | None = None,
     term_rows: list[dict] | None = None,
+    bounds_cache: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a disjunctive BM25 query over the block
     index.  ``prune=False`` gives the exhaustive scorer over the same
@@ -78,7 +109,9 @@ def wand_top_k(
     top-k cut; pruning stays lossless — block upper bounds still dominate
     candidate docs' true scores and the seed threshold is computed on the
     restricted set.  ``term_rows``: pre-resolved vocab rows (QueryEngine
-    dictionary cache) — skips the per-query vocab-scan job."""
+    dictionary cache) — skips the per-query vocab-scan job.
+    ``bounds_cache``: term_id -> (gmax_wtf, gmin_len) memo, mutated in
+    place — repeated terms skip the per-term metadata agg job."""
     cfg = cfg or ScoringConfig()
     assert cfg.scorer == "bm25", "WAND upper bounds require the additive BM25 scorer"
     spark = blocks.sparkSession
@@ -114,19 +147,46 @@ def wand_top_k(
             cfg.top_k,
         )
 
-    # persist: the threshold pass, the gmax agg, and the final pruned scan
-    # all read the same pruned block set.  Not unpersisted here — the
-    # returned DataFrame is lazy and still references it (LRU-evicted).
-    cand = cand.persist()
-    # per-term global max of block_max (|q| rows)
-    gmax_rows = (
-        cand.groupBy("term_id").agg(F.max("block_max_bm25").alias("gmax")).collect()
-    )
-    gmax = {r["term_id"]: r["gmax"] for r in gmax_rows}
-    total_gmax = sum(gmax.values())
+    idf_by_term = {r["term_id"]: _idf(n_docs, r["df"]) for r in qt}
+    ub = _block_ub_expr(idf_by_term, avg_doc_len, cfg)
 
-    # threshold pass: best block per term only
-    w = Window.partitionBy("term_id").orderBy(F.desc("block_max_bm25"), "block_id")
+    # per-term global bound ingredients (gmax_wtf, gmin_len): one tiny agg
+    # over bucket-pruned block METADATA (parquet column pruning keeps the
+    # binary posting columns unread), memoized across queries
+    bounds = dict(bounds_cache or {})
+    missing = [t for t in term_ids if t not in bounds]
+    if missing:
+        rows = (
+            blocks.where(
+                F.col("bucket").isin(sorted({r["bucket"] for r in qt if r["term_id"] in missing}))
+                & F.col("term_id").isin(missing)
+            )
+            .groupBy("term_id")
+            .agg(F.max("max_wtf").alias("gw"), F.min("min_len_d").alias("gl"))
+            .collect()
+        )
+        for r in rows:
+            bounds[r["term_id"]] = (float(r["gw"]), int(r["gl"]))
+        if bounds_cache is not None:
+            bounds_cache.update(bounds)
+
+    def global_ub(tid: int) -> float:
+        gw, gl = bounds[tid]
+        return (
+            idf_by_term[tid] * (cfg.k1 + 1.0) * gw
+            / (gw + cfg.k1 * (1.0 - cfg.b + cfg.b * gl / float(avg_doc_len)))
+        )
+
+    gub = {tid: global_ub(tid) for tid in term_ids}
+    total_gub = sum(gub.values())
+
+    # persist: the threshold pass and the final pruned scan read the same
+    # pruned block set.  Not unpersisted here — the returned DataFrame is
+    # lazy and still references it (LRU-evicted).
+    cand = cand.persist()
+
+    # threshold pass: best block per term only (by query-time ub)
+    w = Window.partitionBy("term_id").orderBy(F.desc(ub), "block_id")
     best_blocks = cand.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") == 1
     )
@@ -141,11 +201,9 @@ def wand_top_k(
 
     # lossless block pruning against tau
     other_max = F.create_map(
-        *[x for tid in term_ids for x in (F.lit(tid), F.lit(total_gmax - gmax[tid]))]
+        *[x for tid in term_ids for x in (F.lit(tid), F.lit(total_gub - gub[tid]))]
     )
-    keep = cand.where(
-        F.col("block_max_bm25") + other_max[F.col("term_id")] >= F.lit(tau)
-    )
+    keep = cand.where(ub + other_max[F.col("term_id")] >= F.lit(tau))
     scored = _score_decoded(
         B.decode_blocks(keep), docs, df_map, n_docs, avg_doc_len, cfg, candidates
     )

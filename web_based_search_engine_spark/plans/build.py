@@ -11,7 +11,8 @@ completed stage — north_rule checkpoint/lineage requirement, FIXTURES.md F6):
   6. stats        corpus aggregates (N, avgdl)
   7. forward      doc -> (term, tf) list for top-5-keyword display
   8. links        web-graph edges (import refs ⋈ module names, links.py)
-  9. blocks       delta-gap + varint compressed posting blocks + block-max
+  9. blocks       delta-gap + varint compressed posting blocks + stats-free
+                  block-max skip bounds (max_wtf, min_len_d)
 
 Incremental upsert (freshness semantics of Indexer.isFreshDocument,
 Appendix C-W8) lives in streaming/incremental.py and re-enters this builder
@@ -101,13 +102,16 @@ class IndexBuilder:
             stage_seconds[stage] = round(time.time() - ts, 3)
             run.add(stage)
 
-        # Stage DAG, not a stage list: `links` depends only on corpus_tok
-        # and `forward` only on postings, so both run on helper threads
-        # concurrently with the critical path (Spark schedules concurrent
-        # jobs at task granularity — the small stages' fixed latencies hide
-        # behind the big shuffles instead of adding to the build's serial
-        # floor).  Checkpoint/resume semantics are unchanged: every stage
-        # still commits its own manifest entry (thread-safe in storage).
+        # Stage DAG, not a stage list: `links` depends only on corpus_tok;
+        # `forward` and `blocks` only on postings (+ corpus_tok lengths for
+        # blocks — NOT on docs/vocab/stats, by the stats-free block-bound
+        # design in operators/blocks.py).  All three run on helper threads
+        # concurrently with the docs/stats critical path (Spark schedules
+        # concurrent jobs at task granularity — the small stages' fixed
+        # latencies hide behind the big encodes instead of adding to the
+        # build's serial floor).  Checkpoint/resume semantics are
+        # unchanged: every stage still commits its own manifest entry
+        # (thread-safe in storage).
         from concurrent.futures import ThreadPoolExecutor
 
         def surface(*futures):
@@ -118,7 +122,7 @@ class IndexBuilder:
                     f.result()
 
         do("corpus_tok", corpus_tok_fn)
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        with ThreadPoolExecutor(max_workers=3) as ex:
             links_f = ex.submit(
                 do, "links", lambda: L.links_from_corpus_tok(self._read("corpus_tok"))
             )
@@ -134,8 +138,23 @@ class IndexBuilder:
                 partition_by=["bucket"],
             )
             n_docs = self.storage.table_meta("corpus_tok")["rows"]
+
+            def doc_lens():
+                ct = self._read("corpus_tok")
+                from pyspark.sql import functions as F
+
+                return ct.select(
+                    "doc_id", (F.col("title_len") + F.col("body_len")).alias("len_d")
+                )
+
             forward_f = ex.submit(
                 do, "forward", lambda: P.forward_frame(self._read("postings"))
+            )
+            blocks_f = ex.submit(
+                do,
+                "blocks",
+                lambda: B.encode_blocks(self._read("postings"), doc_lens(), cfg),
+                ["bucket"],
             )
             do(
                 "docs",
@@ -145,20 +164,9 @@ class IndexBuilder:
                 ),
             )
             do("stats", lambda: P.build_stats(self._read("docs")))
-            surface(links_f, forward_f)
-            do(
-                "blocks",
-                lambda: B.encode_blocks(
-                    self._read("postings"),
-                    self._read("docs"),
-                    self._read("vocab"),
-                    self._read("stats"),
-                    cfg,
-                ),
-                partition_by=["bucket"],
-            )
             links_f.result()
             forward_f.result()
+            blocks_f.result()
         return BuildReport(
             stages_run=[s for s in STAGES if s in run],
             stages_skipped=[s for s in STAGES if s in skipped],

@@ -95,6 +95,9 @@ class QueryEngine:
         # version it loaded at init, so a rebuild means a new engine and a
         # fresh cache.
         self._term_cache: dict[str, dict | None] = {}
+        # term_id -> (gmax_wtf, gmin_len): WAND global-bound ingredients,
+        # filled lazily by wand_top_k (one block-metadata agg per cold term)
+        self._bounds_cache: dict[int, tuple[float, int]] = {}
 
     def _lookup_cached(self, terms: list[str]) -> list[dict]:
         """Resolve ``terms`` against the vocab through the cache; at most
@@ -179,6 +182,7 @@ class QueryEngine:
                 self.n_docs, self.avg_doc_len, self.scoring,
                 candidates=candidates,
                 term_rows=term_rows,
+                bounds_cache=self._bounds_cache,
             )
         scored = score_query_terms(
             self.postings, self.docs, self.vocab, terms,
