@@ -157,8 +157,17 @@ def build_only_run(master: str, n_docs: int, token_mult: int = 4) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     workdir = tempfile.mkdtemp(prefix="bench_scale_")
     try:
-        corpus = corpus_df_distributed(spark, n_docs, token_mult=token_mult)
-        corpus.count()  # materialize generation cost outside the timed region
+        # Materialize the synthetic corpus to parquet and read it back: the
+        # timed region must index a STORED table (the north-rule input is an
+        # Iceberg corpus), not re-evaluate a literal-heavy generator
+        # expression inside every build job — a lazy generator both charges
+        # generation to the build and adds seconds of parallelism-
+        # independent driver plan-optimization (its ~1.6k-literal vocab
+        # array is re-optimized per job), which skews scaling measurements.
+        gen = corpus_df_distributed(spark, n_docs, token_mult=token_mult)
+        corpus_path = os.path.join(workdir, "corpus")
+        gen.write.parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
         # spin up one Arrow python worker per core before timing
         n_par = spark.sparkContext.defaultParallelism
         spark.range(0, n_par * 10, 1, n_par).mapInPandas(

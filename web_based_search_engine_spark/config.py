@@ -63,6 +63,12 @@ class IndexConfig:
     num_term_buckets: int = 8
     block_size: int = 128
     salt_buckets: int = 8
+    # partition count of the doc-keyed tables (corpus_tok / docs / forward):
+    # dbucket = pmod(doc_id, num_doc_buckets).  An incremental upsert
+    # rewrites only the dbuckets holding changed docs (term-keyed tables
+    # rewrite only touched term buckets).  At cluster scale size so each
+    # dbucket holds ~256-512 MB like the term buckets.
+    num_doc_buckets: int = 8
     # applyInPandas encode groups per storage bucket: decouples encoder
     # parallelism from the (small) bucket count — tasks = buckets * this
     encode_salt: int = 16

@@ -32,8 +32,11 @@ def assign_dense_ids(
     key_cols: list[str],
     id_col: str,
     num_buckets: int = 256,
+    base: int = 0,
 ) -> DataFrame:
-    """Add dense 1-based ``id_col`` in global ``key_cols`` order.
+    """Add dense ``id_col`` = ``base`` + 1-based rank in global
+    ``key_cols`` order (``base=0`` -> ids 1..N; the incremental path passes
+    ``base=max existing id`` to append new keys' ids above it).
 
     ``df`` must be unique on ``key_cols`` (duplicate keys would get distinct
     ids — call ``dropDuplicates`` first if needed).
@@ -72,6 +75,40 @@ def assign_dense_ids(
     return (
         local.withColumn("_id_part", part)
         .join(offsets_df, "_id_part")
-        .withColumn(id_col, (F.col("_id_offset") + local_rank + 1).cast("long"))
+        .withColumn(
+            id_col, (F.col("_id_offset") + local_rank + 1 + F.lit(int(base))).cast("long")
+        )
         .drop("_id_part", "_mid", "_id_offset")
     )
+
+
+def assign_stable_ids(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    existing: DataFrame,
+    max_existing_id: int,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Stable id upsert (VERDICT r1 #3): rows whose key exists in
+    ``existing`` KEEP its id; unseen keys get dense ids appended above
+    ``max_existing_id`` (in global key order among themselves).  One insert
+    therefore never shifts any other doc/term's id — the property that
+    makes partition-granular index maintenance possible (the reference's
+    ``size()+1`` scheme shares it: ids are never reassigned,
+    WordIndexer.java:43-47).
+
+    ``existing``: DataFrame carrying ``key_cols`` + ``id_col``.
+    ``max_existing_id`` comes from the stored stats/manifest — no job.
+    """
+    tagged = df.join(
+        existing.select(*key_cols, F.col(id_col).alias("_old_id")), key_cols, "left"
+    )
+    kept = tagged.where(F.col("_old_id").isNotNull()).withColumn(
+        id_col, F.col("_old_id").cast("long")
+    ).drop("_old_id")
+    fresh = tagged.where(F.col("_old_id").isNull()).drop("_old_id")
+    fresh_ids = assign_dense_ids(
+        fresh, key_cols, id_col, num_buckets=num_buckets, base=int(max_existing_id)
+    )
+    return kept.unionByName(fresh_ids)

@@ -82,8 +82,14 @@ def prepare_corpus(corpus: DataFrame, cfg: AnalysisConfig | None = None) -> Data
     )
 
 
-def with_doc_ids(prepared: DataFrame, cfg: IndexConfig) -> DataFrame:
+def with_doc_ids(
+    prepared: DataFrame, cfg: IndexConfig, ids: DataFrame | None = None
+) -> DataFrame:
     """Tokenized corpus + deterministic dense ``doc_id`` (drops raw content).
+
+    ``ids``: pre-assigned id mapping (join-key columns + ``doc_id``) — the
+    incremental path passes stable ids (existing keys keep theirs, new keys
+    appended); omitted, dense ids are assigned over DOC_KEY order.
 
     ``prepared`` needs DOC_KEY + lang + sha256 + title_terms + body_terms
     (tests may hand-build the token arrays, mirroring InvertedIndexTest
@@ -129,11 +135,23 @@ def with_doc_ids(prepared: DataFrame, cfg: IndexConfig) -> DataFrame:
         refs.alias("refs"),
         module_name(F.col("path")).alias("module"),
     )
-    ids = assign_dense_ids(
-        prepared.select(*DOC_KEY), DOC_KEY, "doc_id",
-        num_buckets=cfg.num_term_buckets * 32,
+    if ids is None:
+        ids = assign_dense_ids(
+            prepared.select(*DOC_KEY), DOC_KEY, "doc_id",
+            num_buckets=cfg.num_term_buckets * 32,
+        )
+        join_key = DOC_KEY
+    else:
+        join_key = [c for c in ids.columns if c != "doc_id"]
+    return base.join(ids, join_key).withColumn(
+        "dbucket", doc_bucket_col(cfg.num_doc_buckets)
     )
-    return base.join(ids, DOC_KEY)
+
+
+def doc_bucket_col(num_doc_buckets: int):
+    """Storage partition of the doc-keyed tables: round-robin over dense
+    doc ids.  An upsert rewrites only the dbuckets of changed docs."""
+    return F.pmod(F.col("doc_id"), F.lit(num_doc_buckets)).cast("int")
 
 
 def positional_postings(corpus_tok: DataFrame) -> DataFrame:
@@ -285,10 +303,11 @@ def build_index_frames(prepared: DataFrame, cfg: IndexConfig | None = None) -> I
     return IndexFrames(docs=docs, vocab=vocab, postings=postings, stats=stats)
 
 
-def forward_frame(postings: DataFrame) -> DataFrame:
+def forward_frame(postings: DataFrame, num_doc_buckets: int = 8) -> DataFrame:
     """Forward index doc_id -> sorted (term_id, tf) entries, the map-5
     analog (InvertedIndex.java:17,33) — feeds top-5-keywords display
-    (Indexer.java:196-203, SearchResult.java:33-44)."""
+    (Indexer.java:196-203, SearchResult.java:33-44) and, in the
+    incremental path, the changed docs' old-term lookup."""
     return postings.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(
@@ -297,4 +316,4 @@ def forward_frame(postings: DataFrame) -> DataFrame:
                 )
             )
         ).alias("term_tfs")
-    )
+    ).withColumn("dbucket", doc_bucket_col(num_doc_buckets))

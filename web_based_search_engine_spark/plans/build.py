@@ -121,14 +121,18 @@ class IndexBuilder:
                 if f is not None and f.done():
                     f.result()
 
-        do("corpus_tok", corpus_tok_fn)
+        do("corpus_tok", corpus_tok_fn, partition_by=["dbucket"])
         with ThreadPoolExecutor(max_workers=3) as ex:
             links_f = ex.submit(
                 do, "links", lambda: L.links_from_corpus_tok(self._read("corpus_tok"))
             )
             do("postings_raw", lambda: P.positional_postings(self._read("corpus_tok")))
             surface(links_f)
-            do("vocab", lambda: P.build_vocab(self._read("postings_raw"), cfg))
+            do(
+                "vocab",
+                lambda: P.build_vocab(self._read("postings_raw"), cfg),
+                partition_by=["bucket"],
+            )
             surface(links_f)
             do(
                 "postings",
@@ -148,7 +152,10 @@ class IndexBuilder:
                 )
 
             forward_f = ex.submit(
-                do, "forward", lambda: P.forward_frame(self._read("postings"))
+                do,
+                "forward",
+                lambda: P.forward_frame(self._read("postings"), cfg.num_doc_buckets),
+                ["dbucket"],
             )
             blocks_f = ex.submit(
                 do,
@@ -162,6 +169,7 @@ class IndexBuilder:
                     self._read("corpus_tok"), self._read("postings"),
                     self._read("vocab"), n_docs,
                 ),
+                partition_by=["dbucket"],
             )
             do("stats", lambda: P.build_stats(self._read("docs")))
             links_f.result()

@@ -1,4 +1,4 @@
-"""Incremental (freshness-gated) index maintenance.
+"""Incremental (freshness-gated) index maintenance — partition-granular.
 
 The reference's "incremental" crawl is a batch upsert: a doc is re-indexed
 iff it is unseen or ``curLastModified > stored.lastModified`` — strictly
@@ -7,32 +7,61 @@ Appendix C-W8).  There is no streaming in the reference (SURVEY §2.7), so
 this module is batch MERGE semantics, not Structured Streaming.
 
 ``plan_freshness`` computes the fresh/stale split with an anti-join +
-timestamp comparison (SURVEY #15).  ``incremental_update`` applies it:
-nothing fresh -> no-op (all stages skipped, manifest untouched); otherwise
-the merged corpus is rebuilt through the checkpointed builder and the delta
-is recorded in the manifest metrics.
+timestamp comparison (SURVEY #15).  ``incremental_update`` applies it with
+the reference's remove-then-insert semantics (PostingIndex.removeDocument
+then addDocument, PostingIndex.java:40-43,93-115) at PARTITION granularity:
 
-Scale path (documented, exercised at partition granularity by the builder's
-bucket layout): with Iceberg the rebuild narrows to ``MERGE INTO`` on docs
-plus ``overwritePartitions`` of the term buckets touched by changed docs'
-terms; doc ids for *existing* keys are reused so untouched postings stay
-byte-identical.  In the parquet backend a changed doc set invalidates the
-dense-id assignment downstream stages depend on, so correctness-first the
-builder re-runs from corpus_tok — the checkpoint manifest still skips
-everything when the fresh set is empty.
+- ids are STABLE: an existing (repo, path) keeps its doc_id, an existing
+  term keeps its term_id; new keys append above the stored maximum
+  (operators/ids.assign_stable_ids) — one insert never shifts another id,
+  exactly like the reference's never-reassigned ``size()+1`` scheme.
+- term-keyed tables (postings, blocks, vocab) rewrite ONLY the term
+  buckets touched by the changed docs' old or new terms; doc-keyed tables
+  (corpus_tok, forward) rewrite only the dbuckets holding changed docs.
+  Untouched partitions are carried into the new snapshot by hard links
+  (catalog.write_table_partitions — the Iceberg overwritePartitions
+  analog), i.e. byte-identical, never rewritten.
+- blocks re-encode only for touched buckets: the stored skip bounds
+  (max_wtf, min_len_d) are stats-free (operators/blocks.py), so global
+  df/N/avgdl drift cannot invalidate untouched buckets.
+- every table swap commits in ONE atomic manifest write (storage.batch());
+  a crash mid-upsert leaves the previous snapshot fully consistent.
+
+Cost model (documented honestly): work is proportional to the size of the
+touched term buckets + changed dbuckets — the standard segment-rewrite
+cost, NOT the corpus.  Two deliberate exceptions: (a) ``docs`` and
+``stats`` are recomputed corpus-wide because the reference cosine norm
+``||d||`` depends on every term's global df and on N (the reference dodged
+this by recomputing norms per query, SURVEY §4.1 anti-pattern) — docs is
+the narrowest table (~0.1% of index bytes at scale); (b) ``links`` is
+recomputed from the stored refs/module columns (a ref-sized join, no
+re-tokenization).  The stale ``postings_raw`` intermediate is dropped from
+the checkpoint so a later resume-build cannot consume it.
 """
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
-from ..operators.postings import DOC_KEY
-from ..plans.build import BuildReport, IndexBuilder
+from ..operators import blocks as B
+from ..operators import links as L
+from ..operators import postings as P
+from ..operators.ids import assign_dense_ids
+from ..operators.postings import DOC_KEY, doc_bucket_col
+from ..plans.build import STAGES, BuildReport, IndexBuilder
 from ..sources.catalog import ParquetIndexStorage
+
+# tables the partition-granular path maintains; all must exist to take it
+_FULL_TABLES = (
+    "corpus_tok", "postings", "vocab", "docs", "stats", "forward", "blocks",
+)
+
+UPSERT_KEY = ["repo", "path"]  # commit is a revision attribute: re-commit REPLACES
 
 
 @dataclass
@@ -66,10 +95,10 @@ def plan_freshness(
         fresh = joined.where(fresh_cond).drop("_old_mtime")
         stale = joined.where(~fresh_cond).drop("_old_mtime")
     else:
-        old = stored_docs.select("repo", "path", F.col("sha256").alias("_old_sha"))
+        old = stored_docs.select(*UPSERT_KEY, F.col("sha256").alias("_old_sha"))
         joined = new_corpus.withColumn(
             "_new_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
-        ).join(old, ["repo", "path"], "left")
+        ).join(old, UPSERT_KEY, "left")
         fresh_cond = F.col("_old_sha").isNull() | (F.col("_new_sha") != F.col("_old_sha"))
         fresh = joined.where(fresh_cond).drop("_old_sha", "_new_sha")
         stale = joined.where(~fresh_cond).drop("_old_sha", "_new_sha")
@@ -85,9 +114,9 @@ def incremental_update(
 ) -> BuildReport:
     """Upsert ``new_corpus`` into the stored index with freshness gating.
 
-    The merged corpus = fresh rows + stored rows whose key is absent from
-    the fresh set (delete-then-insert per doc, the
-    ``PostingIndex.removeDocument`` analog at set level)."""
+    Nothing fresh -> true no-op (no stage touched, W8 skip).  A complete
+    stored index takes the partition-granular path; an incomplete one
+    (first build / partial checkpoint) falls back to the full builder."""
     cfg = cfg or IndexConfig()
     stored = (
         storage.read_table(spark, "docs") if storage.has_table("docs") else None
@@ -101,27 +130,187 @@ def incremental_update(
     storage._commit_manifest(m)
 
     if plan.n_fresh == 0:
-        # nothing newer: every stage stays checkpoint-complete (W8 skip)
-        return IndexBuilder(spark, storage, cfg).build(new_corpus.limit(0), resume=True)
+        # nothing newer: every stage skipped without invoking the builder
+        done = [s for s in STAGES if storage.stage_done(s)]
+        return BuildReport(
+            stages_run=[], stages_skipped=done, seconds=0.0,
+            n_docs=int(storage.table_meta("docs")["rows"]) if stored is not None else 0,
+        )
 
-    if stored is not None and storage.has_table("corpus_tok"):
-        old_tok = storage.read_table(spark, "corpus_tok")
-        # delete-then-insert keys on the document identity (repo, path) —
-        # commit is a revision attribute, so a re-committed file REPLACES
-        # its old row (PostingIndex.removeDocument analog)
-        tok_cols = [*DOC_KEY, "lang", "sha256", "title_terms", "body_terms", "refs"]
-        keep_old = old_tok.join(
-            plan.fresh.select("repo", "path"), ["repo", "path"], "left_anti"
-        ).select(*tok_cols)
-        from ..operators.postings import prepare_corpus
+    if stored is None or not all(storage.has_table(t) for t in _FULL_TABLES):
+        return IndexBuilder(spark, storage, cfg).build(plan.fresh, resume=False)
 
-        fresh_tok = prepare_corpus(plan.fresh, cfg.analysis).select(*tok_cols)
-        merged_prepared = keep_old.unionByName(fresh_tok)
-        # downstream stages must recompute (doc set changed)
-        from ..plans.build import STAGES
+    return _partition_granular_upsert(spark, storage, plan, cfg)
 
-        storage.invalidate_from(STAGES)
-        builder = IndexBuilder(spark, storage, cfg)
-        return builder.build_from_prepared(merged_prepared)
 
-    return IndexBuilder(spark, storage, cfg).build(plan.fresh, resume=False)
+def _partition_granular_upsert(
+    spark: SparkSession,
+    storage: ParquetIndexStorage,
+    plan: FreshnessPlan,
+    cfg: IndexConfig,
+) -> BuildReport:
+    t0 = time.time()
+    docs_old = storage.read_table(spark, "docs")
+    vocab_old = storage.read_table(spark, "vocab")
+
+    # stored maxima for stable-id appends: tiny 1-row agg over narrow scans
+    maxima = (
+        docs_old.agg(F.max("doc_id").alias("d")).crossJoin(
+            vocab_old.agg(F.max("term_id").alias("t"))
+        )
+    ).collect()[0]
+    max_doc_id, max_term_id = int(maxima["d"]), int(maxima["t"])
+
+    # ---- fresh docs: tokenize + STABLE doc ids ---------------------------
+    fresh_prepared = P.prepare_corpus(plan.fresh, cfg.analysis)
+    key_ids = docs_old.select(*UPSERT_KEY, "doc_id")
+    fresh_keys = fresh_prepared.select(*UPSERT_KEY)
+    new_ids = assign_dense_ids(
+        fresh_keys.join(key_ids, UPSERT_KEY, "left_anti"),
+        UPSERT_KEY, "doc_id", num_buckets=cfg.num_term_buckets * 32,
+        base=max_doc_id,
+    )
+    ids = key_ids.join(fresh_keys, UPSERT_KEY, "left_semi").unionByName(new_ids)
+    fresh_tok = P.with_doc_ids(fresh_prepared, cfg, ids=ids).persist()
+
+    fresh_doc_ids = fresh_tok.select("doc_id")
+    changed_dbuckets = sorted(
+        r["dbucket"] for r in fresh_tok.select("dbucket").distinct().collect()
+    )
+
+    with storage.batch():
+        # ---- corpus_tok: rewrite changed dbuckets ------------------------
+        tok_old = storage.read_table(spark, "corpus_tok")
+        tok_cols = tok_old.columns
+        tok_keep = (
+            tok_old.where(F.col("dbucket").isin(changed_dbuckets))
+            .join(fresh_tok.select(*UPSERT_KEY), UPSERT_KEY, "left_anti")
+        )
+        storage.write_table_partitions(
+            tok_keep.select(*tok_cols).unionByName(fresh_tok.select(*tok_cols)),
+            "corpus_tok", ["dbucket"], changed_dbuckets, stage="corpus_tok",
+        )
+
+        # ---- touched terms: old terms of replaced docs + fresh terms -----
+        fresh_raw = P.positional_postings(fresh_tok)
+
+        fwd_old = storage.read_table(spark, "forward")
+        # replaced docs keep their ids, so their old forward rows sit in the
+        # changed dbuckets — partition-pruned lookup of their old term_ids
+        old_tids = (
+            fwd_old.where(F.col("dbucket").isin(changed_dbuckets))
+            .join(fresh_doc_ids, "doc_id", "left_semi")
+            .select(F.explode("term_tfs").alias("e"))
+            .select(F.col("e.term_id").alias("term_id"))
+            .distinct()
+        )
+
+        # term-id mapping for fresh postings: stable for known terms, dense
+        # append above max_term_id for brand-new terms
+        vocab_ids = vocab_old.select("term", "term_id", "bucket")
+        new_terms = fresh_raw.select("term").distinct().join(
+            vocab_ids, "term", "left_anti"
+        )
+        new_term_ids = assign_dense_ids(
+            new_terms, ["term"], "term_id", num_buckets=cfg.num_term_buckets * 4,
+            base=max_term_id,
+        ).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term_id"), F.lit(cfg.num_term_buckets)).cast("int"),
+        )
+        term_map = vocab_ids.unionByName(new_term_ids).persist()
+        fresh_post = fresh_raw.join(term_map, "term").select(
+            "term_id", "doc_id", "bucket", "title_tf", "body_tf",
+            "title_pos", "body_pos",
+        )
+
+        touched = (
+            old_tids.join(term_map.select("term_id", "bucket"), "term_id")
+            .select("bucket")
+            .unionByName(fresh_post.select("bucket"))
+            .distinct()
+            .collect()
+        )
+        touched_buckets = sorted(r["bucket"] for r in touched)
+
+        # ---- postings: remove-then-insert inside touched buckets ---------
+        post_old = storage.read_table(spark, "postings")
+        post_keep = (
+            post_old.where(F.col("bucket").isin(touched_buckets))
+            .join(fresh_doc_ids, "doc_id", "left_anti")
+        )
+        pcols = ["term_id", "doc_id", "bucket", "title_tf", "body_tf",
+                 "title_pos", "body_pos"]
+        storage.write_table_partitions(
+            post_keep.select(*pcols).unionByName(fresh_post.select(*pcols)),
+            "postings", ["bucket"], touched_buckets, stage="postings",
+        )
+
+        # ---- vocab: recompute term stats for the touched buckets ---------
+        post_new = storage.read_table(spark, "postings")  # new snapshot
+        tb = post_new.where(F.col("bucket").isin(touched_buckets))
+        term_stats = tb.groupBy("term_id", "bucket").agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum(F.col("title_tf") + F.col("body_tf")).cast("long").alias("cf"),
+            F.max(F.col("title_tf") + F.col("body_tf")).cast("int").alias("max_tf"),
+        )
+        vocab_part = term_stats.join(term_map.select("term_id", "term"), "term_id").select(
+            "term_id", "term", "df", "cf", "max_tf", "bucket"
+        )
+        storage.write_table_partitions(
+            vocab_part, "vocab", ["bucket"], touched_buckets, stage="vocab",
+        )
+
+        # ---- forward: rewrite changed dbuckets ---------------------------
+        fwd_keep = (
+            fwd_old.where(F.col("dbucket").isin(changed_dbuckets))
+            .join(fresh_doc_ids, "doc_id", "left_anti")
+        )
+        fwd_fresh = P.forward_frame(fresh_post, cfg.num_doc_buckets)
+        fcols = ["doc_id", "term_tfs", "dbucket"]
+        storage.write_table_partitions(
+            fwd_keep.select(*fcols).unionByName(fwd_fresh.select(*fcols)),
+            "forward", ["dbucket"], changed_dbuckets, stage="forward",
+        )
+
+        # ---- blocks: re-encode ONLY touched buckets ----------------------
+        tok_new = storage.read_table(spark, "corpus_tok")
+        doc_lens = tok_new.select(
+            "doc_id", (F.col("title_len") + F.col("body_len")).alias("len_d")
+        )
+        blocks_part = B.encode_blocks(
+            post_new.where(F.col("bucket").isin(touched_buckets)), doc_lens, cfg
+        )
+        storage.write_table_partitions(
+            blocks_part, "blocks", ["bucket"], touched_buckets, stage="blocks",
+        )
+
+        # ---- docs + stats: corpus-wide refresh (norms need global df/N) --
+        n_docs = int(storage.table_meta("corpus_tok")["rows"])
+        docs_new = P.build_docs(
+            tok_new, post_new, storage.read_table(spark, "vocab"), n_docs
+        )
+        storage.write_table(docs_new, "docs", partition_by=["dbucket"], stage="docs")
+        storage.write_table(
+            P.build_stats(storage.read_table(spark, "docs")), "stats", stage="stats"
+        )
+
+        # ---- links: ref-sized recompute ----------------------------------
+        storage.write_table(
+            L.links_from_corpus_tok(tok_new), "links", stage="links"
+        )
+
+        # postings_raw is now stale: drop its checkpoint marker so a future
+        # resume-build recomputes it from corpus_tok instead of consuming
+        # pre-upsert data
+        storage.invalidate_from(["postings_raw"])
+
+    fresh_tok.unpersist()
+    term_map.unpersist()
+    run = [s for s in STAGES if s != "postings_raw"]
+    return BuildReport(
+        stages_run=run,
+        stages_skipped=[],
+        seconds=time.time() - t0,
+        n_docs=int(storage.table_meta("docs")["rows"]),
+    )
