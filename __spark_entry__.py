@@ -513,6 +513,138 @@ FROM jac WHERE jaccard >= {thr}
 """
 
 
+def _embedding_dim(default: int = 64) -> int:
+    """Dimension of the driver embeddings table (needed to emit hyperplane
+    literals into the q18/q25 oracle SQL); falls back to the documented
+    TESTDATA dim when the parquet is not readable."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            "/root/testdata/sf0.01/embeddings.parquet", columns=["embedding"]
+        )
+        return len(t["embedding"][0])
+    except Exception:
+        return default
+
+
+def _sql_simhash() -> str:
+    """ANSI-SQL twin of D.simhash64: md5-nibble 64-bit hash family (bit b =
+    bit 3-b%4 of hex digit b//4), signed per-bit sums over distinct tokens,
+    sign -> fingerprint bit (bit 63 is the BIGINT sign bit)."""
+    return f"""
+{_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks),
+h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+bits AS (
+  SELECT doc_id, bb.b AS bit,
+         sum(CASE WHEN ((strpos('0123456789abcdef', m[(bb.b // 4) + 1]) - 1)
+                        >> (3 - (bb.b % 4))) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+  GROUP BY doc_id, bb.b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0
+                THEN CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                          ELSE (1::BIGINT << bit::INT) END
+                ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def _sql_planes_cte(num_planes: int) -> str:
+    """VALUES rows (p, pv DOUBLE[]) for the deterministic hyperplanes —
+    the exact floats the engine derives in similarity._hyperplane, emitted
+    as literals so the SQL oracle shares the geometry."""
+    from web_based_search_engine_spark.operators.similarity import _hyperplane
+
+    dim = _embedding_dim()
+    return ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            p, ", ".join(repr(float(x)) for x in _hyperplane(p, dim))
+        )
+        for p in range(num_planes)
+    )
+
+
+def _sql_sig_cte(num_planes: int) -> str:
+    """Shared CTE body: per-vector hyperplane-sign bucket (bit p set iff
+    dot(vec, plane_p) >= 0) — mirrors similarity.lsh_bucket_signatures."""
+    return f"""
+planes(p, pv) AS (VALUES
+    {_sql_planes_cte(num_planes)}
+),
+z AS (
+  SELECT e.vec_id, pl.p, sum(u.x * pl.pv[u.i]) AS dot
+  FROM embeddings e
+  CROSS JOIN planes pl,
+  LATERAL (SELECT unnest(e.embedding)::DOUBLE AS x,
+                  generate_subscripts(e.embedding, 1) AS i) u
+  GROUP BY e.vec_id, pl.p
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+  FROM z GROUP BY vec_id
+)"""
+
+
+def _sql_lsh_ann(num_planes: int = 8, k: int = 10) -> str:
+    """ANSI-SQL twin of SIM.lsh_ann_topk: hyperplane signatures, multiprobe
+    (query bucket + hamming-1 neighbors), exact cosine top-k on the
+    candidate set (the q15-proven cosine pattern)."""
+    return f"""
+WITH {_sql_sig_cte(num_planes)},
+qs AS (SELECT bucket AS qb FROM sig WHERE vec_id = 0),
+probes AS (
+  SELECT qb AS b FROM qs
+  UNION ALL
+  SELECT xor(qb, (1::BIGINT << r.p::INT))
+  FROM qs CROSS JOIN (SELECT unnest(range(0, {num_planes})) AS p) r
+),
+cand AS (SELECT vec_id FROM sig WHERE bucket IN (SELECT b FROM probes)),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+cz AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+              unnest((SELECT q FROM qv))::DOUBLE AS y
+       FROM embeddings e JOIN cand USING (vec_id)),
+s AS (SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
+      FROM cz GROUP BY vec_id)
+SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
+FROM s ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+def _sql_embedding_near_dups(num_planes: int = 6, threshold: float = 0.9,
+                             cap: int = 500) -> str:
+    """ANSI-SQL twin of SIM.embedding_near_dup_pairs: bucket by hyperplane
+    signature, all-pairs within capped sorted buckets, exact cosine filter."""
+    return f"""
+WITH {_sql_sig_cte(num_planes)},
+buckets AS (
+  SELECT bucket, list_sort(list(vec_id))[1:{cap}] AS ids
+  FROM sig GROUP BY bucket HAVING count(*) > 1
+),
+pairs AS (
+  SELECT DISTINCT ids[i] AS id_a, ids[j] AS id_b
+  FROM buckets,
+       LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i),
+       LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS j)
+  WHERE i < j
+),
+pz AS (SELECT p.id_a, p.id_b,
+              unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+       FROM pairs p
+       JOIN embeddings a ON p.id_a = a.vec_id
+       JOIN embeddings b ON p.id_b = b.vec_id),
+s AS (SELECT id_a, id_b, sum(x*y) AS dot, sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
+      FROM pz GROUP BY id_a, id_b)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(dot / (nx * ny), 6) AS cosine
+FROM s WHERE dot / (nx * ny) >= {threshold}
+"""
+
+
 def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75,
               tw: float = 0.9) -> str:
     vals = ", ".join(f"('{t}')" for t in terms)
@@ -620,7 +752,10 @@ sh AS (
 SELECT doc_id, coalesce(list_min(list_transform(sh, s -> md5(s))), md5('')) AS fingerprint
 FROM sh
 """,
+        "q16_simhash": _sql_simhash(),
         "q17_minhash_near_dups": _sql_minhash_near_dups(16, 4, 3, 200, 0.5),
+        "q18_lsh_ann_top10": _sql_lsh_ann(8, 10),
+        "q25_embedding_near_dups": _sql_embedding_near_dups(6, 0.9, 500),
         "q15_ann_cosine_top10": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,

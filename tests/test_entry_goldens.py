@@ -1,0 +1,49 @@
+"""Pinned value-hash goldens for driver queries with no ANSI-SQL oracle.
+
+The driver's CORRECTNESS check can only do a rows-count check for these
+(stemming / seeded-LSH-codebook / synthetic-media queries aren't
+SQL-expressible).  Here each one is pinned to the exact order-insensitive
+sha256 value hash the driver's comparator would compute (same
+normalization: 6-dp floats, sorted columns, sorted rows) over the
+deterministic sf0.01 tables — a real equality check, not just a row count
+(VERDICT r1 #8).  A hash change means the query's VALUES changed: either a
+regression, or an intentional semantics change that must re-pin."""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+GOLDEN = {
+    "q19_bm25_stemmed_top50":
+        ("4b33e1c0bf1570cfdaebac41d3a9d65cb28e52f9e947d7b3f374adf0a5f5ddd4", 50),
+    "q20_media_image_features":
+        ("091a88e232dacec22a3a7f339526c31c111065b971fdedccfe879a4e83065bed", 16),
+    "q21_media_frame_sample":
+        ("79120017fb102c26241de35c53009f4e00f8b4a9a5e647c1b8453d669cfcf97e", 383),
+    "q23_import_link_graph":
+        ("6b76cdffe9c3a08c7fc03e940480ebbbf8a98a6ff8ad7f86eb62d06fea204c82", 299),
+    "q24_ivf_ann_top10":
+        ("aedce7cc9cf0fd4f56e0e228d326f0f357748d261439eafa2ff889b57b3a1c03", 10),
+}
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_engine_only_query_golden_hash(spark, name):
+    import __spark_entry__ as entry
+    from check_oracle import hash_rows
+
+    df = entry.queries()[name](spark, SF_DIR)
+    rows = df.collect()
+    want_hash, want_rows = GOLDEN[name]
+    assert len(rows) == want_rows
+    assert hash_rows(df.columns, [tuple(r) for r in rows]) == want_hash

@@ -248,16 +248,25 @@ def simhash64(df: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per doc -> (id, simhash).
 
     Bit b of the fingerprint is the sign of sum over distinct tokens of
-    (+1/-1) according to bit b of xxhash64(token).  Pure Catalyst: explode
-    -> per-bit contribution vectors via transform -> elementwise aggregate.
+    (+1/-1) according to bit b of the token's hash.  The hash family is the
+    first 64 bits of md5(token), read nibble-by-nibble — like the MinHash
+    family, md5 exists in both Spark and ANSI SQL engines, so the
+    fingerprints are byte-identical between the engine and the DuckDB
+    oracle (xxhash64 would not be reproducible there).  Pure Catalyst:
+    explode -> 16 hex-nibble columns -> per-bit signed sums -> sign bits.
     """
     toks = df.select(F.col(id_col), F.explode(F.array_distinct(F.col(tokens_col))).alias("tok"))
-    h = toks.withColumn("h", F.xxhash64("tok"))
-    # shift amounts must be Python literals (shiftright takes int numBits):
-    # unroll the 64 bit tests into one sum expression per bit
+    h = toks.withColumn("m", F.md5("tok"))
+    # nibble i = hex digit i of md5 (0..15); bit b lives in nibble b//4 at
+    # in-nibble position 3 - b%4 (hex digit's MSB is its first bit)
+    for i in range(16):
+        h = h.withColumn(f"_n{i}", F.conv(F.substring("m", i + 1, 1), 16, 10).cast("int"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"_n{b // 4}"), 3 - b % 4).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"_s{b}")
         for b in range(64)
     ]
