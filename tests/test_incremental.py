@@ -154,6 +154,19 @@ def test_upsert_partition_granular(spark, tmp_path):
           for r in fresh_storage.read_table(spark, "vocab").collect()}
     assert vu == vn
 
+    # docs parity incl. the reference cosine norm (the corpus-wide refresh
+    # the upsert performs because ||d|| depends on global df and N)
+    def docs_map(st):
+        return {
+            (r["repo"], r["path"]): (
+                r["tf_max"], round(r["doc_norm"], 9), r["title_len"], r["body_len"],
+                r["sha256"],
+            )
+            for r in st.read_table(spark, "docs").collect()
+        }
+
+    assert docs_map(storage) == docs_map(fresh_storage)
+
 
 def test_incremental_update_end_to_end(spark, tmp_path):
     v1 = [

@@ -1,0 +1,54 @@
+"""HTTP search endpoint (server.py, JavalinServer.java:44-75 analog)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+from web_based_search_engine_spark.plans.query import QueryEngine
+from web_based_search_engine_spark.server import SearchServer
+
+
+def _get(port: int, path: str):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:  # non-2xx still carries a JSON body
+        return e.code, json.loads(e.read())
+
+
+def test_server_search_and_health(spark, built_index):
+    qe = QueryEngine(spark, built_index["storage"], mode="blocks")
+    srv = SearchServer(qe, port=0).start()  # ephemeral port
+    try:
+        status, health = _get(srv.port, "/health")
+        assert status == 200 and health["status"] == "ok"
+        assert health["n_docs"] == built_index["n_docs"]
+
+        q = urllib.parse.quote('searching "engines retrieval"')
+        status, body = _get(srv.port, f"/search?q={q}&k=5")
+        assert status == 200
+        rows = body["results"]
+        assert 0 < len(rows) <= 5
+        # assembled SearchResult fields present; scores sorted desc
+        for col in ("doc_id", "repo", "path", "score", "keywords"):
+            assert col in rows[0], col
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # results identical to a direct engine call
+        direct = qe.search('searching "engines retrieval"', k=5).collect()
+        assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in direct]
+
+        # k is capped at the reference's maxSearchResults=50
+        status, body = _get(srv.port, "/search?q=posting&k=500")
+        assert status == 200 and body["k"] == 50
+
+        # bad requests
+        status, _ = _get(srv.port, "/search")
+        assert status == 400
+        status, _ = _get(srv.port, "/nope")
+        assert status == 404
+    finally:
+        srv.stop()

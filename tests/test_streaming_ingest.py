@@ -1,0 +1,74 @@
+"""Structured Streaming corpus ingestion (streaming/stream.py): file-source
+micro-batches drain through the partition-granular upsert with exactly-once
+checkpointing; re-delivery is a freshness no-op."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_based_search_engine_spark import fixtures
+from web_based_search_engine_spark.config import IndexConfig
+from web_based_search_engine_spark.plans.build import IndexBuilder
+from web_based_search_engine_spark.plans.query import QueryEngine
+from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+from web_based_search_engine_spark.streaming.stream import stream_corpus_ingest
+
+CFG = IndexConfig(num_term_buckets=2, block_size=8)
+
+
+def _write_batch(spark, rows, path):
+    spark.createDataFrame(rows, fixtures.CORPUS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_stream_ingest_available_now(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    storage = ParquetIndexStorage(tmp_path / "idx")
+
+    base = [
+        ("r/a", "f1.py", "c1", "py", "searching engines alpha"),
+        ("r/a", "f2.py", "c1", "py", "posting retrieval beta"),
+    ]
+    IndexBuilder(spark, storage, CFG).build(
+        spark.createDataFrame(base, fixtures.CORPUS_SCHEMA)
+    )
+
+    # batch 1 lands: one changed doc + one new doc
+    _write_batch(spark, [
+        ("r/a", "f2.py", "c2", "py", "posting retrieval gamma STREAMED"),
+        ("r/a", "f3.py", "c1", "py", "freshdoc zeta"),
+    ], landing)
+    q = stream_corpus_ingest(spark, storage, landing, ckpt, CFG, available_now=True)
+    q.awaitTermination(120)
+
+    qe = QueryEngine(spark, storage, mode="columnar")
+    assert qe.search("zeta", assemble=False).count() == 1
+    assert qe.search("gamma", assemble=False).count() == 1
+    assert qe.search("beta", assemble=False).count() == 0  # replaced
+    assert storage.read_table(spark, "docs").count() == 3
+
+    # batch 2 lands later; a NEW stream over the same checkpoint processes
+    # only the new file (file-source exactly-once)
+    _write_batch(spark, [("r/a", "f4.py", "c1", "py", "late omega arrives")], landing)
+    q2 = stream_corpus_ingest(spark, storage, landing, ckpt, CFG, available_now=True)
+    q2.awaitTermination(120)
+
+    qe2 = QueryEngine(spark, storage, mode="columnar")
+    assert qe2.search("omega", assemble=False).count() == 1
+    docs = storage.read_table(spark, "docs")
+    assert docs.count() == 4
+    # earlier docs' ids stayed stable through both streamed upserts
+    ids = {r["path"]: r["doc_id"] for r in docs.collect()}
+    assert ids["f1.py"] != ids["f4.py"]
+    # replay the same files through a FRESH checkpoint: freshness gate makes
+    # re-delivery a no-op (idempotent end-to-end)
+    q3 = stream_corpus_ingest(
+        spark, storage, landing, str(tmp_path / "ckpt2"), CFG, available_now=True
+    )
+    q3.awaitTermination(120)
+    assert storage.read_table(spark, "docs").count() == 4
+    assert QueryEngine(spark, storage, mode="columnar").search(
+        "omega", assemble=False
+    ).count() == 1

@@ -1,12 +1,13 @@
 """CLI with App.java mode parity: build (was ``crawl``) / search / phrase /
-print / update, plus bench hooks.
+print / update / server, plus bench hooks.
 
 The reference CLI (App.java:26-59) ran ``crawl`` (BFS + index), ``search
 word...``, ``phrase w1 w2 ...``, ``print``, ``server``.  The rebuild's
 source is a corpus table instead of a crawl frontier (SURVEY #5: BFS is out
-of scope — full/incremental scan replaces it); ``server`` is out of scope
-for a batch engine.  Output mirrors ``SearchResult.toResultFormat()``:
-score, title/path, identity line, top-5 keywords with frequencies.
+of scope — full/incremental scan replaces it); ``server`` serves JSON over
+stdlib HTTP (server.py, JavalinServer analog).  Output mirrors
+``SearchResult.toResultFormat()``: score, title/path, identity line, top-5
+keywords with frequencies.
 
 Usage (also via spark-submit --py-files engine.zip):
     python -m web_based_search_engine_spark.cli build  --corpus PATH --index DIR
@@ -14,6 +15,7 @@ Usage (also via spark-submit --py-files engine.zip):
     python -m web_based_search_engine_spark.cli search --index DIR "free text query"
     python -m web_based_search_engine_spark.cli phrase --index DIR w1 w2 ...
     python -m web_based_search_engine_spark.cli print  --index DIR [--table docs]
+    python -m web_based_search_engine_spark.cli server --index DIR --port 8321
 """
 
 from __future__ import annotations
@@ -71,6 +73,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--table", default=None)
     pr.add_argument("-n", type=int, default=20)
 
+    pv = sub.add_parser("server", help="JSON HTTP search endpoint (JavalinServer analog)")
+    pv.add_argument("--index", required=True)
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8321)
+    pv.add_argument("--mode", default="blocks", choices=["blocks", "columnar"])
+
     args = p.parse_args(argv)
     spark = get_spark("web-search-cli")
     spark.sparkContext.setLogLevel("ERROR")
@@ -113,6 +121,16 @@ def main(argv: list[str] | None = None) -> int:
             df = storage.read_table(spark, name)
             order = [c for c in ("term_id", "doc_id", "bucket") if c in df.columns]
             (df.orderBy(*order) if order else df).show(args.n, truncate=60)
+    elif args.cmd == "server":
+        from .server import SearchServer
+
+        qe = QueryEngine(spark, ParquetIndexStorage(args.index), mode=args.mode)
+        srv = SearchServer(qe, host=args.host, port=args.port)
+        print(f"serving on http://{args.host}:{srv.port}/search?q=...")
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            srv.stop()
     spark.stop()
     return 0
 

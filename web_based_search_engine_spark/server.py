@@ -1,0 +1,109 @@
+"""HTTP search endpoint — the JavalinServer analog (JavalinServer.java:44-75).
+
+The reference serves an HTML page; the rebuild serves JSON (an engine, not
+a UI), but the request semantics are the same:
+
+- one query string parameter carrying free text plus at most one quoted
+  phrase (``"(.*)"`` greedy group, JavalinServer.java:55-61 — the parsing
+  warts W3/W4 are inherited via plans.query.parse_query);
+- results sorted by score desc, limited to ``maxSearchResults`` (:66-70;
+  our top-k additionally pins the doc_id tiebreak);
+- each result carries the assembled SearchResult fields: doc identity,
+  score, top-5 keywords, parent/child links decoded to paths
+  (SearchResult.java:33-44, Indexer.java:194-231).
+
+Implementation: stdlib ``ThreadingHTTPServer`` — no web framework is baked
+into the engine (the sandbox has none; a real deployment would front this
+with whatever serving tier it already runs).  Spark is thread-safe for
+concurrent actions, and the QueryEngine's driver-side term/bound caches are
+shared across requests, so repeated terms skip their lookup jobs.
+
+Routes:
+  GET /health              -> {"status": "ok", "n_docs": N}
+  GET /search?q=...&k=50   -> {"query": ..., "k": ..., "results": [...]}
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .config import MAX_SEARCH_RESULTS
+
+
+def _jsonable(v):
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return v
+
+
+def make_handler(engine):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/health":
+                self._json(200, {"status": "ok", "n_docs": engine.n_docs})
+                return
+            if parsed.path != "/search":
+                self._json(404, {"error": "unknown path", "path": parsed.path})
+                return
+            qs = urllib.parse.parse_qs(parsed.query)
+            query = qs.get("q", [""])[0]
+            if not query:
+                self._json(400, {"error": "missing q parameter"})
+                return
+            try:
+                k = min(int(qs.get("k", [str(MAX_SEARCH_RESULTS)])[0]),
+                        MAX_SEARCH_RESULTS)
+                rows = engine.search(query, k=k).collect()
+                results = [_jsonable(r.asDict(recursive=True)) for r in rows]
+                self._json(200, {"query": query, "k": k, "results": results})
+            except Exception as e:  # noqa: BLE001 — surface as HTTP 500
+                self._json(500, {"error": str(e)[:500]})
+
+        def log_message(self, *args):  # quiet: the engine logs via Spark
+            pass
+
+    return Handler
+
+
+class SearchServer:
+    """Owns the HTTP listener; ``start()`` serves on a daemon thread (tests
+    / embedding), ``serve_forever()`` blocks (CLI ``server`` command —
+    App.java:50-55 analog)."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> "SearchServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -1,0 +1,80 @@
+"""Structured Streaming ingestion -> freshness-gated partition-granular upsert.
+
+The reference has no streaming (SURVEY §2.7 — its "incremental crawl" is a
+batch re-scan).  This module is the Spark-native growth path for a living
+corpus: new corpus files land under a directory (the parquet-file stand-in
+for an Iceberg table's appended snapshots), Structured Streaming's file
+source discovers them incrementally with exactly-once bookkeeping in the
+stream checkpoint, and every micro-batch flows through the SAME batch
+upsert (``incremental_update``) — streaming as incremental batches, so the
+two ingestion modes cannot drift semantically.
+
+``foreachBatch`` (not a built-in sink) is required: the upsert is a
+multi-table transaction (postings/blocks/vocab/docs/... swapped in ONE
+atomic manifest commit via ``storage.batch()``), which no row-sink can
+express.  Late or replayed data is safe without watermarks because the
+upsert itself is the dedup/ordering gate: strictly-newer-wins freshness
+(Appendix C-W8) makes re-delivered or out-of-order rows no-ops, so the
+pipeline is idempotent end-to-end (file-source exactly-once + idempotent
+batch = effectively-once).
+
+At cluster scale the same code runs continuously (``processing_time``
+trigger) against an object-store landing prefix; in tests it runs with
+``availableNow`` (process the backlog, then stop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..config import IndexConfig
+from ..sources.catalog import ParquetIndexStorage
+from .incremental import incremental_update
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def stream_corpus_ingest(
+    spark: SparkSession,
+    storage: ParquetIndexStorage,
+    source_dir: str,
+    checkpoint_dir: str,
+    cfg: IndexConfig | None = None,
+    available_now: bool = True,
+    processing_interval: str = "1 minute",
+):
+    """Start the ingest stream; returns the StreamingQuery.
+
+    ``available_now=True`` drains the current backlog and stops (test /
+    catch-up mode); ``False`` runs continuously with ``processing_interval``
+    micro-batches.  Callers ``q.awaitTermination()``."""
+    cfg = cfg or IndexConfig()
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)  # bound per-batch upsert size
+        .parquet(source_dir)
+    )
+
+    def handle_batch(batch_df, batch_id: int) -> None:
+        # empty micro-batches short-circuit inside plan_freshness (n_fresh=0)
+        incremental_update(spark, storage, batch_df, cfg)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("corpus-ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()
