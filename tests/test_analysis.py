@@ -61,3 +61,49 @@ def test_spark_tokenize_is_catalyst_only(spark):
     df = spark.createDataFrame([("A b_c-d e.f",)], "text string")
     plan = df.select(tokenize("text")).explain(mode="formatted")  # noqa: F841 smoke
     assert [r[0] for r in df.select(tokenize("text")).collect()] == [["a", "b_c-d", "e", "f"]]
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """functions/xxhash.py must be bit-identical to F.xxhash64 (seed 42) —
+    it is what lets the driver compute term buckets without a lookup job.
+    Covers every length class of the algorithm (empty, <4, <8, <32, 32,
+    >32 bytes) plus multi-byte UTF-8."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from web_based_search_engine_spark.functions.xxhash import (
+        term_bucket,
+        xxhash64_str,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789_-éλ中"
+    cases = ["", "a", "ab", "abc", "abcd", "abcdefg", "abcdefgh",
+             "x" * 31, "x" * 32, "x" * 33, "x" * 100, "naïve-λ中文token"]
+    cases += ["".join(rng.choices(alphabet, k=rng.randint(1, 60))) for _ in range(50)]
+    cases = list(dict.fromkeys(cases))
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for c in cases:
+        assert xxhash64_str(c) == got[c], repr(c)
+    # pmod parity for the bucket computation
+    buck = {r["s"]: r["b"] for r in df.select(
+        "s", F.pmod(F.xxhash64("s"), F.lit(8)).cast("int").alias("b")).collect()}
+    for c in cases:
+        assert term_bucket(c, 8) == buck[c], repr(c)
+
+
+def test_vocab_bucket_is_driver_computable(spark, built_index):
+    """Every stored vocab row's bucket equals the driver-side computation —
+    the invariant behind dictionary-lookup partition pruning."""
+    from web_based_search_engine_spark.functions.xxhash import term_bucket
+
+    storage = built_index["storage"]
+    b = built_index["cfg"].num_term_buckets
+    st = storage.read_table(spark, "stats").collect()[0]
+    assert int(st["num_term_buckets"]) == b
+    rows = storage.read_table(spark, "vocab").select("term", "bucket").collect()
+    assert rows
+    for r in rows:
+        assert term_bucket(r["term"], b) == r["bucket"], r["term"]

@@ -75,7 +75,9 @@ def test_upsert_partition_granular(spark, tmp_path):
     same scores as a from-scratch build of the merged corpus."""
     import os
 
-    cfg = IndexConfig(num_term_buckets=8, block_size=8)
+    # 16 buckets vs ~10 distinct changed-doc terms: several term buckets
+    # are untouched by construction (term-string hash spreads them)
+    cfg = IndexConfig(num_term_buckets=16, block_size=8)
     # group-A docs (bulk, untouched) use a disjoint vocabulary from the
     # changed docs, so several term buckets stay untouched
     rows = [

@@ -48,6 +48,13 @@ def assign_dense_ids(
     scale defaultParallelism is large and the cap is a no-op).
     """
     num_buckets = max(4, min(num_buckets, df.sparkSession.sparkContext.defaultParallelism * 4))
+    # Persist the input: repartitionByRange's boundary-sampling pass
+    # re-executes the child plan, and for the vocab call that child is the
+    # whole two-phase salted aggregation — caching computes the child once
+    # instead of twice.  (At the 50k-doc bench scale this is noise; it
+    # matters when the child aggregation is expensive.)  Narrow key/stat
+    # rows only, never token arrays.
+    df = df.persist()
     ranged = df.repartitionByRange(num_buckets, *[F.col(k) for k in key_cols])
     local = ranged.sortWithinPartitions(*key_cols).withColumn(
         "_mid", F.monotonically_increasing_id()

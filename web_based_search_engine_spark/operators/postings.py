@@ -210,8 +210,11 @@ def build_vocab(merged: DataFrame, cfg: IndexConfig) -> DataFrame:
 
     df = docs containing the term in title OR body (PostingIndex.java:177-182).
     Explicit two-phase salting bounds any single reducer's rows for hot terms
-    to ~df/S (north_rule).  The storage ``bucket`` is carried in vocab so a
-    driver-side dictionary lookup can push partition pruning at query time.
+    to ~df/S (north_rule).  The storage ``bucket`` hashes the term STRING
+    (not the term id): the driver can then compute a query term's bucket
+    locally (functions/xxhash.py is bit-identical to F.xxhash64), so both
+    the vocab dictionary lookup AND the postings/blocks scans partition-
+    prune with no prior lookup job.
     """
     salted = merged.groupBy(
         "term", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets)).alias("_salt")
@@ -234,7 +237,7 @@ def build_vocab(merged: DataFrame, cfg: IndexConfig) -> DataFrame:
         "df",
         "cf",
         "max_tf",
-        F.pmod(F.xxhash64("term_id"), F.lit(cfg.num_term_buckets)).cast("int").alias("bucket"),
+        F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int").alias("bucket"),
     )
 
 
@@ -279,12 +282,17 @@ def build_docs(
     )
 
 
-def build_stats(docs: DataFrame) -> DataFrame:
+def build_stats(docs: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
+    """Corpus aggregates + the physical-layout constant ``num_term_buckets``
+    (so a query engine can compute term buckets driver-side without any
+    config out-of-band)."""
+    cfg = cfg or IndexConfig()
     return docs.agg(
         F.count("*").alias("n_docs"),
         F.avg("title_len").alias("avg_title_len"),
         F.avg("body_len").alias("avg_body_len"),
         F.avg(F.col("title_len") + F.col("body_len")).alias("avg_doc_len"),
+        F.lit(cfg.num_term_buckets).alias("num_term_buckets"),
     )
 
 
@@ -299,7 +307,7 @@ def build_index_frames(prepared: DataFrame, cfg: IndexConfig | None = None) -> I
     postings = encode_postings(merged, vocab, cfg)
     n_docs = corpus_tok.count()
     docs = build_docs(corpus_tok, postings, vocab, n_docs)
-    stats = build_stats(docs)
+    stats = build_stats(docs, cfg)
     return IndexFrames(docs=docs, vocab=vocab, postings=postings, stats=stats)
 
 

@@ -29,14 +29,29 @@ from pyspark.sql import functions as F
 from ..config import ScoringConfig
 
 
-def lookup_terms(vocab: DataFrame, terms: list[str]) -> list[dict]:
+def lookup_terms(
+    vocab: DataFrame, terms: list[str], num_buckets: int | None = None
+) -> list[dict]:
     """Query-side dictionary lookup — read-only (fixes Appendix C-W2: the
     reference *inserted* unseen query terms).  Returns [{term_id, term, df,
     max_tf}] for terms present in the vocabulary; unseen terms vanish
-    (df=0 -> no postings -> no contribution, InvertedIndex.java:115-117)."""
+    (df=0 -> no postings -> no contribution, InvertedIndex.java:115-117).
+
+    With ``num_buckets`` (the stored layout constant from the stats table)
+    and a bucket-partitioned vocab, the scan is partition-pruned to the
+    query terms' buckets computed DRIVER-SIDE (functions/xxhash.py is
+    bit-identical to F.xxhash64) — the lookup touches |query buckets|/B of
+    the dictionary with no prior job."""
     if not terms:
         return []
-    rows = vocab.where(F.col("term").isin(list(set(terms)))).collect()
+    uniq = list(set(terms))
+    sel = vocab
+    if num_buckets and "bucket" in vocab.columns:
+        from ..functions.xxhash import term_bucket
+
+        buckets = sorted({term_bucket(t, num_buckets) for t in uniq})
+        sel = sel.where(F.col("bucket").isin(buckets))
+    rows = sel.where(F.col("term").isin(uniq)).collect()
     return [r.asDict() for r in rows]
 
 

@@ -171,7 +171,7 @@ class IndexBuilder:
                 ),
                 partition_by=["dbucket"],
             )
-            do("stats", lambda: P.build_stats(self._read("docs")))
+            do("stats", lambda: P.build_stats(self._read("docs"), cfg))
             links_f.result()
             forward_f.result()
             blocks_f.result()

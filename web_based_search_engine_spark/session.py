@@ -23,9 +23,13 @@ def get_spark(
     if master == "local[*]" and cores:
         master = f"local[{cores}]"
     # "local[4]" -> 4; "local[4,2]" (core,maxRetries) -> 4; "local" -> 1;
+    # "local-cluster[N,c,m]" -> N*c (separate executor JVMs);
     # "local[*]" / non-local masters -> conservative 32 (heap cap applies)
+    lc = re.match(r"local-cluster\[(\d+),(\d+),(\d+)\]", master)
     m = re.match(r"local\[(\d+)", master)
-    if m:
+    if lc:
+        n_cores = max(int(lc.group(1)) * int(lc.group(2)), 1)
+    elif m:
         n_cores = max(int(m.group(1)), 1)
     elif master == "local":
         n_cores = 1
@@ -40,12 +44,28 @@ def get_spark(
     # the N-core run but no more per core — the same shape as adding
     # executors of a fixed size.  Capped: a 64g heap measured 1.5-4x
     # SLOWER than 16g on this box (G1 region/clear overhead at high
-    # allocation rates).
-    default_mem = f"{min(20, 4 + 2 * n_cores)}g"
+    # allocation rates).  local-cluster mode runs executors as SEPARATE
+    # JVMs (memory set in the master string), so the driver stays small.
+    default_mem = "4g" if lc else f"{min(20, 4 + 2 * n_cores)}g"
 
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+    )
+    if lc:
+        # separate executor JVMs spawn their own Python workers, which do
+        # not inherit the driver's sys.path — ship the package location
+        # (the pip-install/--py-files analog for the local-cluster bench)
+        from pathlib import Path
+
+        repo_root = str(Path(__file__).resolve().parents[1])
+        env_pp = os.environ.get("PYTHONPATH", "")
+        b = b.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{repo_root}:{env_pp}" if env_pp else repo_root,
+        )
+    b = (
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

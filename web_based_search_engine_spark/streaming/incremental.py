@@ -51,7 +51,7 @@ from ..config import IndexConfig
 from ..operators import blocks as B
 from ..operators import links as L
 from ..operators import postings as P
-from ..operators.ids import assign_dense_ids
+from ..operators.ids import assign_dense_ids, assign_stable_ids
 from ..operators.postings import DOC_KEY, doc_bucket_col
 from ..plans.build import STAGES, BuildReport, IndexBuilder
 from ..sources.catalog import ParquetIndexStorage
@@ -164,13 +164,11 @@ def _partition_granular_upsert(
     # ---- fresh docs: tokenize + STABLE doc ids ---------------------------
     fresh_prepared = P.prepare_corpus(plan.fresh, cfg.analysis)
     key_ids = docs_old.select(*UPSERT_KEY, "doc_id")
-    fresh_keys = fresh_prepared.select(*UPSERT_KEY)
-    new_ids = assign_dense_ids(
-        fresh_keys.join(key_ids, UPSERT_KEY, "left_anti"),
-        UPSERT_KEY, "doc_id", num_buckets=cfg.num_term_buckets * 32,
-        base=max_doc_id,
+    ids = assign_stable_ids(
+        fresh_prepared.select(*UPSERT_KEY), UPSERT_KEY, "doc_id",
+        existing=key_ids, max_existing_id=max_doc_id,
+        num_buckets=cfg.num_term_buckets * 32,
     )
-    ids = key_ids.join(fresh_keys, UPSERT_KEY, "left_semi").unionByName(new_ids)
     fresh_tok = P.with_doc_ids(fresh_prepared, cfg, ids=ids).persist()
 
     fresh_doc_ids = fresh_tok.select("doc_id")
@@ -216,7 +214,7 @@ def _partition_granular_upsert(
             base=max_term_id,
         ).withColumn(
             "bucket",
-            F.pmod(F.xxhash64("term_id"), F.lit(cfg.num_term_buckets)).cast("int"),
+            F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
         )
         term_map = vocab_ids.unionByName(new_term_ids).persist()
         fresh_post = fresh_raw.join(term_map, "term").select(
@@ -292,7 +290,7 @@ def _partition_granular_upsert(
         )
         storage.write_table(docs_new, "docs", partition_by=["dbucket"], stage="docs")
         storage.write_table(
-            P.build_stats(storage.read_table(spark, "docs")), "stats", stage="stats"
+            P.build_stats(storage.read_table(spark, "docs"), cfg), "stats", stage="stats"
         )
 
         # ---- links: ref-sized recompute ----------------------------------
