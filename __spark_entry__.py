@@ -339,6 +339,53 @@ def _q_media_frames(spark, sf_dir):
     return audio_frame_sample(synth_media_df(spark, 48), fake=True)
 
 
+def _q_pagerank(spark, sf_dir):
+    """PageRank (10 damped power iterations, dangling mass redistributed)
+    over the same SQL-expressible prefix-group doc graph as q22; the oracle
+    unrolls the 10 iterations as chained CTEs."""
+    from web_based_search_engine_spark.operators import links as L
+
+    docs = _docs(spark, sf_dir).select("doc_id", _raw_tokens_col().alias("toks"))
+    edges = L.prefix_group_links(docs, "doc_id", "toks", k=4)
+    pr = L.pagerank(edges, damping=0.85, n_iter=10)
+    return pr.select("doc_id", F.round("rank", 6).alias("pr_rank"))
+
+
+def _q_event_windows(spark, sf_dir):
+    """Tumbling 1-hour window stats per event type over the events log —
+    the same logical plan Structured Streaming runs with a watermark
+    (operators/events.py).  Window start exported as epoch micros so both
+    engines hash an integer, not a timestamp rendering."""
+    from web_based_search_engine_spark.operators.events import tumbling_window_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = tumbling_window_stats(ev, "1 hour")
+    return w.select(
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+def _q_event_sessions(spark, sf_dir):
+    """Gap-based (30 min) per-user sessionization via F.session_window;
+    oracle = the lag()+cumulative-sum window-function formulation."""
+    from web_based_search_engine_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(ev, "30 minutes")
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end_us"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_term_frequencies": _q_tf,
@@ -368,6 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_embedding_near_dups": _q_embedding_near_dups,
         "q26_full_engine_phrase": _q_full_engine_phrase,
         "q27_incremental_upsert": _q_incremental_upsert,
+        "q28_pagerank": _q_pagerank,
+        "q29_event_windows": _q_event_windows,
+        "q30_event_sessions": _q_event_sessions,
     }
 
 
@@ -681,6 +731,53 @@ ORDER BY score DESC, doc_id LIMIT 50
 """
 
 
+def _sql_pagerank(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power iteration: r0..r{n}.  Float literals are emitted as
+    CAST('repr' AS DOUBLE) so DuckDB uses the exact binary doubles Python /
+    Spark use (a bare 0.85 would parse as DECIMAL and round differently at
+    the 1e-17 level; 6-dp rounding would almost certainly absorb that, but
+    exact operand parity removes the 'almost')."""
+    d = f"CAST('{damping!r}' AS DOUBLE)"
+    one_minus_d = f"CAST('{(1.0 - damping)!r}' AS DOUBLE)"
+    # Every CTE is MATERIALIZED: r{i} is referenced twice (contribution +
+    # dangling), and DuckDB's default CTE inlining would expand the plan
+    # 2^n_iter-fold — thousands of concurrent scans of the base relation
+    # (observed as fd exhaustion), the SQL analog of the lineage blowup the
+    # Spark side avoids with localCheckpoint.
+    base = f"""{_TOKS_CTE.replace("toks AS (", "toks AS MATERIALIZED (")},
+keyed AS MATERIALIZED (SELECT doc_id, array_to_string(t[1:4], ' ') AS pkey FROM toks),
+grp AS MATERIALIZED (SELECT pkey, min(doc_id) AS src, count(*) AS n
+        FROM keyed GROUP BY pkey HAVING count(*) > 1),
+edges AS MATERIALIZED (SELECT g.src AS src_doc_id, k.doc_id AS dst_doc_id
+          FROM keyed k JOIN grp g USING (pkey) WHERE k.doc_id <> g.src),
+nodes AS MATERIALIZED (SELECT src_doc_id AS doc_id FROM edges
+          UNION SELECT dst_doc_id FROM edges),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+outs AS MATERIALIZED (SELECT src_doc_id AS doc_id, count(*)::DOUBLE AS out_degree
+         FROM edges GROUP BY 1),
+r0 AS MATERIALIZED (SELECT doc_id, (SELECT 1.0 / n FROM nn) AS rank FROM nodes)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        its.append(f"""
+c{i} AS MATERIALIZED (SELECT e.dst_doc_id AS doc_id, sum(p.rank / o.out_degree) AS contrib
+         FROM {p} p
+         JOIN edges e ON e.src_doc_id = p.doc_id
+         JOIN outs o ON o.doc_id = p.doc_id
+         GROUP BY 1),
+d{i} AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0) AS m FROM {p} p
+         LEFT JOIN outs o ON o.doc_id = p.doc_id WHERE o.doc_id IS NULL),
+r{i} AS MATERIALIZED (SELECT n.doc_id,
+                {one_minus_d} / (SELECT n FROM nn)
+                + {d} * (coalesce(c.contrib, 0)
+                         + (SELECT m FROM d{i}) / (SELECT n FROM nn)) AS rank
+         FROM nodes n LEFT JOIN c{i} c USING (doc_id))""")
+    return (
+        base + "," + ",".join(its)
+        + f"\nSELECT doc_id, round(rank, 6) AS pr_rank FROM r{n_iter}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_term_frequencies": f"""
@@ -779,5 +876,37 @@ SELECT coalesce(outs.doc_id, ins.doc_id) AS doc_id,
        coalesce(in_degree, 0)::BIGINT  AS in_degree,
        coalesce(out_degree, 0)::BIGINT AS out_degree
 FROM outs FULL OUTER JOIN ins ON outs.doc_id = ins.doc_id
+""",
+        "q28_pagerank": _sql_pagerank(),
+        "q29_event_windows": """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY 1, 2
+""",
+        "q30_event_sessions": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sid
 """,
     }

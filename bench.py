@@ -59,7 +59,14 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
     results: dict[str, float] = {}
     t_total = time.time()
 
-    corpus = build_corpus(spark, sf_dir)
+    # Materialize the synthetic corpus to parquet and read it back — same
+    # methodology as the scaling bench (build_only_run): the timed region
+    # must index a STORED table (the north-rule input is a stored corpus),
+    # not re-optimize a ~1.6k-literal generator expression in every build
+    # job.
+    corpus_path = os.path.join(workdir, "corpus")
+    build_corpus(spark, sf_dir).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
     n_docs = corpus.count()
 
     storage = ParquetIndexStorage(os.path.join(workdir, "idx"))

@@ -1,0 +1,125 @@
+"""Event-log analytics (operators/events.py): tumbling windows, gap
+sessionization, and batch==streaming plan equivalence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from web_based_search_engine_spark.operators.events import (
+    sessionize,
+    tumbling_window_stats,
+)
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 3, 1, 10 + minute // 60, minute % 60, second)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_tumbling_window_counts_and_bounds(spark):
+    ev = _events(spark, [
+        (1, _ts(0), 1, "click", 1.0),
+        (2, _ts(30), 1, "click", 2.0),
+        (3, _ts(59, 59), 2, "click", 4.0),   # still hour 10
+        (4, _ts(60), 2, "click", 8.0),        # hour 11
+        (5, _ts(5), 1, "view", 0.5),
+    ])
+    out = {
+        (r["window_start"].hour, r["event_type"]): r
+        for r in tumbling_window_stats(ev, "1 hour").collect()
+    }
+    assert out[(10, "click")]["n_events"] == 3
+    assert out[(10, "click")]["sum_value"] == 7.0
+    assert out[(10, "click")]["min_value"] == 1.0
+    assert out[(10, "click")]["max_value"] == 4.0
+    assert out[(11, "click")]["n_events"] == 1
+    assert out[(10, "view")]["n_events"] == 1
+    assert len(out) == 3
+
+
+def test_sessionize_gap_semantics(spark):
+    """Inclusive-gap merge: an event exactly `gap` after the previous one
+    still MERGES (session_window pane is [ts, ts+gap], closed); one second
+    beyond opens a new session."""
+    ev = _events(spark, [
+        (1, _ts(0), 1, "click", 1.0),
+        (2, _ts(30), 1, "click", 1.0),      # exactly 30:00 -> still merges
+        (3, _ts(60, 1), 1, "click", 1.0),   # 30:01 gap -> NEW session
+        (4, _ts(0), 2, "click", 1.0),       # other user: own session
+    ])
+    rows = sorted(
+        sessionize(ev, "30 minutes").collect(),
+        key=lambda r: (r["user_id"], r["session_start"]),
+    )
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 2), (1, 1), (2, 1)]
+    assert rows[0]["session_start"] == _ts(0)
+    assert rows[0]["session_end"] == _ts(30)
+    assert rows[1]["session_start"] == _ts(60, 1)
+
+
+def test_sessionize_streaming_equals_batch(spark, tmp_path):
+    """The SAME sessionize() call runs as a Structured Streaming query
+    (session_window state merge + watermark) and lands the batch answer."""
+    rows = [
+        (i, _ts(7 * i + 60 * (i // 10)), i % 3, "click", float(i)) for i in range(40)
+    ]  # 7-min spacing with an hour jump every 10 events -> per-user gaps of
+    #    21 min (merge) except across a jump (81 min -> session break)
+    src = str(tmp_path / "events_src")
+    _eb = spark.createDataFrame(rows, EVENT_SCHEMA)
+    _eb.coalesce(2).write.parquet(src)
+
+    batch = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["sum_value"])
+        for r in sessionize(spark.read.parquet(src), "30 minutes").collect()
+    }
+
+    stream_in = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        sessionize(stream_in, "30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert streamed == batch and len(batch) > 3
+
+
+def test_window_stats_streaming_equals_batch(spark, tmp_path):
+    rows = [(i, _ts(3 * i), i % 5, "t" + str(i % 2), float(i)) for i in range(50)]
+    src = str(tmp_path / "ev_src2")
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(2).write.parquet(src)
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_window_stats(spark.read.parquet(src), "1 hour").collect()
+    }
+    stream_in = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        tumbling_window_stats(stream_in, "1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from win_out").collect()
+    }
+    assert streamed == batch and len(batch) >= 2

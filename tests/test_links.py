@@ -171,3 +171,32 @@ def test_builder_links_stage_and_assembly(spark, built_index):
                 assert paths is not None and len(paths) == len(ids)
                 assert [path_of[i] for i in ids] == list(paths)
     assert saw_neighbor, "query should hit at least one linked doc"
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """Spark pagerank vs an independent driver-side power iteration on a
+    hand graph with a dangling node (3 has no out-edges)."""
+    from web_based_search_engine_spark.operators.links import pagerank
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (4, 1), (4, 3)]
+    edges = spark.createDataFrame(edge_list, "src_doc_id long, dst_doc_id long")
+    got = {r["doc_id"]: r["rank"] for r in pagerank(edges, 0.85, n_iter=10).collect()}
+
+    nodes = sorted({x for e in edge_list for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edge_list:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edge_list:
+            contrib[d] += rank[s] / out[s]
+        rank = {
+            v: (1.0 - 0.85) / n + 0.85 * (contrib[v] + dangling / n) for v in nodes
+        }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9

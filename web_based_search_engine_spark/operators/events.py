@@ -1,0 +1,106 @@
+"""Event-log analytics: tumbling-window aggregation and gap sessionization.
+
+The reference engine indexes a static crawl; a production deployment of the
+same system also has to digest its *query/click log* — an append-only event
+stream.  These operators cover that surface over the driver's ``events``
+table (event_id, ts, user_id, event_type, value, props), expressed so the
+IDENTICAL logical plan runs in batch (``spark.read``) and in Structured
+Streaming (``spark.readStream`` + watermark):
+
+- ``tumbling_window_stats`` groups by ``F.window`` — in streaming this is
+  the canonical watermark-windowed aggregation (late events beyond the
+  watermark are dropped, on-time ones merged into their pane's state).
+- ``sessionize`` groups by ``F.session_window`` — Spark's native gap-merge
+  session operator, which in streaming keeps per-user session state and
+  emits a session when the watermark passes its close.  No lag/cumsum
+  window functions, so no total-sort per user partition: state is merged
+  associatively, which is what lets it scale to an unbounded stream.
+
+Scale notes: both are single-shuffle aggregations keyed on
+(window-bucket, type) / (user, session) — well-distributed keys with
+map-side partial aggregation.  Aggregates stick to count/sum/min/max
+(streaming-legal; no exact distinct-count, which would not be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per (tumbling window, event type): event count, value sum/min/max.
+
+    Pass ``watermark`` (e.g. ``"2 hours"``) when ``events`` is a streaming
+    DataFrame; batch inputs ignore lateness entirely.
+    """
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(ts_col, window).alias("w"), type_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(type_col).alias("event_type"),
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions per user via ``F.session_window``.
+
+    A session is a maximal run of one user's events where consecutive
+    events are at most ``gap`` apart (Spark merges an event into the open
+    session while ``ts <= last_ts + gap`` — the exact-gap event still
+    merges; tested in tests/test_events.py).  Output one row per
+    session: first/last event time, event count, value sum.
+
+    SQL twin (the driver oracle): ``lag() OVER (PARTITION BY user ORDER BY
+    ts)`` + cumulative sum of gap-break flags — identical semantics, but
+    the window-function form needs a per-user total sort, while
+    session_window's state merge is associative and streaming-capable.
+    """
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(
+            F.col(user_col).alias("user_id"),
+            F.session_window(ts_col, gap).alias("sw"),
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "sum_value",
+        )
+    )

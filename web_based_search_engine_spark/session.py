@@ -67,6 +67,9 @@ def get_spark(
     b = (
         b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # deterministic timestamp semantics regardless of host tz: NTZ->TZ
+        # casts and unix_micros read wall-clock values as UTC everywhere
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
