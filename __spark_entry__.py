@@ -493,7 +493,8 @@ FROM feat
 
 def _sql_minhash(num_hashes: int = 4, k: int = 3) -> str:
     mh_cols = ",\n  ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
+        f"list_min(list_transform(sh, s -> substring(md5('{i // 4}:' || s),"
+        f" {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
         for i in range(num_hashes)
     )
     return f"""
@@ -518,7 +519,8 @@ def _sql_minhash_near_dups(num_hashes: int = 16, bands: int = 4, k: int = 3,
     bucket -> exact shingle Jaccard verify."""
     rpb = num_hashes // bands
     mh_cols = ",\n  ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
+        f"list_min(list_transform(sh, s -> substring(md5('{i // 4}:' || s),"
+        f" {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
         for i in range(num_hashes)
     )
     band_keys = ", ".join(

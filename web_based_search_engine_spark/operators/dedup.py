@@ -78,16 +78,41 @@ def minhash_signatures(
 ) -> DataFrame:
     """-> (id, mh_0..mh_{n-1}): per-doc MinHash signature.
 
-    mh_i = min over shingles s of md5(i || ':' || s) — exchangeable hash
-    family, deterministic, and reproducible in ANSI SQL."""
-    sh = shingles(F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col, shingle_k)
-    cols = [
-        F.array_min(
-            F.transform(F.col("_shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+    mh_i = min over shingles s of an 8-hex-char (32-bit) window of
+    md5(g || ':' || s), where g = i//4 and the window is slice i%4 — four
+    independent minhashes per md5 call.  One md5 per (shingle, group)
+    instead of one per (shingle, hash index) is 4x less hashing in the
+    dominant stage (profiled: signatures were ~65% of the near-dup
+    pipeline), while each 32-bit window is still an exchangeable uniform
+    family (md5 output bits are independent) and fixed-width lowercase hex
+    compares as a string exactly like the underlying integer.  Still
+    reproducible in ANSI SQL (md5 + substring — the oracle twin in
+    __spark_entry__ builds the identical expression)."""
+    tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    sh = shingles(tok, shingle_k)
+    n_groups = (num_hashes + 3) // 4
+
+    # NB: closures below keep lambda arity 1 — a 2-param lambda in
+    # F.transform means (element, INDEX), so the usual default-arg capture
+    # (lambda s, g=g: ...) silently binds the array index instead.
+    def _group_md5(g: int):
+        return F.transform(
+            F.col("_shingles"), lambda s: F.md5(F.concat(F.lit(f"{g}:"), s))
+        ).alias(f"_h{g}")
+
+    def _window_min(i: int):
+        off = (i % 4) * 8
+        return F.array_min(
+            F.transform(F.col(f"_h{i // 4}"), lambda m: F.substring(m, off + 1, 8))
         ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return df.select(F.col(id_col), sh.alias("_shingles")).select(F.col(id_col), *cols)
+
+    grouped = [_group_md5(g) for g in range(n_groups)]
+    cols = [_window_min(i) for i in range(num_hashes)]
+    return (
+        df.select(F.col(id_col), sh.alias("_shingles"))
+        .select(F.col(id_col), *grouped)
+        .select(F.col(id_col), *cols)
+    )
 
 
 def lsh_candidate_pairs(
