@@ -569,15 +569,20 @@ def _embedding_dim(default: int = 64) -> int:
     """Dimension of the driver embeddings table (needed to emit hyperplane
     literals into the q18/q25 oracle SQL); falls back to the documented
     TESTDATA dim when the parquet is not readable."""
-    try:
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
-        t = pq.read_table(
-            "/root/testdata/sf0.01/embeddings.parquet", columns=["embedding"]
-        )
-        return len(t["embedding"][0])
-    except Exception:
-        return default
+    # sf0.01 is the driver's oracle scale; the other dirs are fallbacks for
+    # local runs (all TESTDATA scales share one dim, asserted by the
+    # sf0.001 oracle tests)
+    for sf in ("sf0.01", "sf0.001", "sf0.1"):
+        try:
+            t = pq.read_table(
+                f"/root/testdata/{sf}/embeddings.parquet", columns=["embedding"]
+            )
+            return len(t["embedding"][0])
+        except Exception:
+            continue
+    return default
 
 
 def _sql_simhash() -> str:

@@ -199,3 +199,82 @@ def test_incremental_update_end_to_end(spark, tmp_path):
     # unchanged doc survives with identical sha
     docs = storage.read_table(spark, "docs")
     assert docs.count() == 3
+
+
+def test_upsert_partial_index_preserves_stored_docs(spark, tmp_path):
+    """Crash-shaped storage (docs/corpus_tok committed, blocks missing):
+    an upsert must rebuild from stored ∪ delta, NOT from the delta alone
+    (regression: the fallback once rebuilt a 1-doc index)."""
+    rows = [
+        ("r/a", "f1.py", "c1", "py", "alpha beta stored"),
+        ("r/a", "f2.py", "c1", "py", "gamma delta stored"),
+    ]
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(spark, storage, CFG).build(_mini_corpus(spark, rows))
+    # simulate the crash: blocks never committed
+    m = storage.manifest()
+    m["tables"].pop("blocks")
+    m["stages"].pop("blocks", None)
+    storage._commit_manifest(m)
+    assert not storage.has_table("blocks")
+
+    incremental_update(
+        spark, storage,
+        _mini_corpus(spark, [("r/a", "f3.py", "c1", "py", "epsilon fresh")]),
+        CFG,
+    )
+    docs = storage.read_table(spark, "docs")
+    assert docs.count() == 3
+    qe = QueryEngine(spark, storage, mode="columnar")
+    assert qe.search("alpha", assemble=False).count() == 1   # stored doc kept
+    assert qe.search("epsilon", assemble=False).count() == 1  # delta applied
+    assert storage.has_table("blocks")  # full rebuild restored the table
+
+
+def test_upsert_duplicate_key_batch_newest_wins(spark, tmp_path):
+    """Two revisions of one (repo, path) in a single batch collapse to the
+    newest (max commit) — no id fan-out, no double-counted postings."""
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(spark, storage, CFG).build(
+        _mini_corpus(spark, [("r/a", "f1.py", "c1", "py", "alpha original")])
+    )
+    batch = _mini_corpus(spark, [
+        ("r/a", "f1.py", "c2", "py", "alpha zzmid"),
+        ("r/a", "f1.py", "c3", "py", "alpha zznewest"),
+        ("r/a", "f2.py", "c1", "py", "beta other"),
+    ])
+    incremental_update(spark, storage, batch, CFG)
+    docs = storage.read_table(spark, "docs")
+    assert docs.count() == 2
+    f1 = docs.where(F.col("path") == "f1.py").collect()
+    assert len(f1) == 1 and f1[0]["commit"] == "c3"
+    qe = QueryEngine(spark, storage, mode="columnar")
+    assert qe.search("zznewest", assemble=False).count() == 1
+    assert qe.search("zzmid", assemble=False).count() == 0
+    # postings not duplicated: alpha matches exactly one doc once
+    assert qe.search("alpha", assemble=False).count() == 1
+
+
+def test_upsert_layout_pinned_to_stored_index(spark, tmp_path):
+    """An upsert called with a DIFFERENT num_term_buckets than the stored
+    index must pin to the stored layout — otherwise new vocab rows land in
+    wrong-modulus buckets and driver-side pruning goes blind."""
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(spark, storage, IndexConfig(num_term_buckets=2, block_size=8)).build(
+        _mini_corpus(spark, [("r/a", "f1.py", "c1", "py", "alpha beta")])
+    )
+    # caller passes the DEFAULT cfg (8 term buckets) — must be ignored
+    incremental_update(
+        spark, storage,
+        _mini_corpus(spark, [("r/a", "f2.py", "c1", "py", "gamma fresh")]),
+        IndexConfig(),
+    )
+    st = storage.read_table(spark, "stats").collect()[0]
+    assert int(st["num_term_buckets"]) == 2
+    from web_based_search_engine_spark.functions.xxhash import term_bucket
+
+    for r in storage.read_table(spark, "vocab").select("term", "bucket").collect():
+        assert term_bucket(r["term"], 2) == r["bucket"], r["term"]
+    qe = QueryEngine(spark, storage, mode="columnar")
+    assert qe.search("gamma", assemble=False).count() == 1
+    assert qe.search("alpha", assemble=False).count() == 1

@@ -9,9 +9,10 @@ engine operators over a document table:
 - SimHash (64-bit) fingerprints + hamming-band candidate pairs
 
 Everything is pure Catalyst except nothing — no UDFs at all.  The MinHash
-family uses ``min(md5(i || ':' || shingle))`` per hash index: md5 exists in
-both Spark and DuckDB, so signatures are byte-identical across engine and
-SQL oracle (the usual (a*h+b) mod p family would need matching 64-bit
+family uses ``min`` over 32-bit hex windows of ``md5(g || ':' || shingle)``
+(four hash indexes per md5 call — see ``minhash_signatures``): md5 exists
+in both Spark and DuckDB, so signatures are byte-identical across engine
+and SQL oracle (the usual (a*h+b) mod p family would need matching 64-bit
 integer hashing on both sides, which DuckDB cannot reproduce).
 
 Scale notes: exact dedup is one hash shuffle with map-side combine; LSH is
@@ -115,6 +116,29 @@ def minhash_signatures(
     )
 
 
+def _banded(signatures: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_key): band b's key = md5 of its rows_per_band
+    signature columns joined with '|'.  Shared by lsh_candidate_pairs and
+    lsh_bucket_stats — the recall-loss accounting MUST describe the same
+    buckets the pair generator used."""
+    rows_per_band = num_hashes // bands
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -132,22 +156,7 @@ def lsh_candidate_pairs(
     ``from_truncated_bucket`` flag (true iff any bucket that produced the
     pair overflowed the cap, i.e. recall may be lost around these docs), and
     ``lsh_bucket_stats`` reports how many buckets/docs the cap dropped."""
-    rows_per_band = num_hashes // bands
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
-    )
+    banded = _banded(signatures, id_col, num_hashes, bands)
     buckets = banded.groupBy("band", "band_key").agg(
         F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket_size).alias("ids"),
         (F.count("*") > max_bucket_size).alias("truncated"),
@@ -195,22 +204,7 @@ def lsh_bucket_stats(
     this next to ``lsh_candidate_pairs`` in any pipeline where silent
     recall loss matters (at 10^12 docs a single hot bucket can hide
     millions of pairs)."""
-    rows_per_band = num_hashes // bands
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
-    )
+    banded = _banded(signatures, id_col, num_hashes, bands)
     sizes = banded.groupBy("band", "band_key").agg(F.count("*").alias("n"))
     return sizes.agg(
         F.count("*").alias("n_buckets"),

@@ -68,6 +68,10 @@ def assign_dense_ids(
     counts = (
         local.groupBy(part.alias("_id_part")).count().orderBy("_id_part").collect()
     )
+    # the counts pass fully materialized `local`'s cache, so the input
+    # cache has served its purpose — release it (one leaked pin per call
+    # adds up in a long-running streaming ingest)
+    df.unpersist()
     offsets, acc = {}, 0
     for row in counts:  # _id_part ascending == key-range ascending
         offsets[row["_id_part"]] = acc

@@ -283,9 +283,10 @@ def build_docs(
 
 
 def build_stats(docs: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
-    """Corpus aggregates + the physical-layout constant ``num_term_buckets``
-    (so a query engine can compute term buckets driver-side without any
-    config out-of-band)."""
+    """Corpus aggregates + the physical-layout constants
+    (``num_term_buckets``, ``num_doc_buckets``) so a query engine computes
+    term buckets driver-side and an upsert pins the stored layout — neither
+    trusts out-of-band config."""
     cfg = cfg or IndexConfig()
     return docs.agg(
         F.count("*").alias("n_docs"),
@@ -293,6 +294,7 @@ def build_stats(docs: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
         F.avg("body_len").alias("avg_body_len"),
         F.avg(F.col("title_len") + F.col("body_len")).alias("avg_doc_len"),
         F.lit(cfg.num_term_buckets).alias("num_term_buckets"),
+        F.lit(cfg.num_doc_buckets).alias("num_doc_buckets"),
     )
 
 

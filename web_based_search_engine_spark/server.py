@@ -67,8 +67,11 @@ def make_handler(engine):
                 self._json(400, {"error": "missing q parameter"})
                 return
             try:
-                k = min(int(qs.get("k", [str(MAX_SEARCH_RESULTS)])[0]),
-                        MAX_SEARCH_RESULTS)
+                k = int(qs.get("k", [str(MAX_SEARCH_RESULTS)])[0])
+                if k < 1:
+                    self._json(400, {"error": "k must be >= 1", "k": k})
+                    return
+                k = min(k, MAX_SEARCH_RESULTS)
                 rows = engine.search(query, k=k).collect()
                 results = [_jsonable(r.asDict(recursive=True)) for r in rows]
                 self._json(200, {"query": query, "k": k, "results": results})

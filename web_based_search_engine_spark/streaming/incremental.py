@@ -45,6 +45,7 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
@@ -81,7 +82,24 @@ def plan_freshness(
 
     With ``mtime_col``: fresh iff unseen key or new.mtime > stored.mtime
     (strict — W8).  Without: fresh iff unseen (repo, path) or content
-    sha256 changed (the code-corpus surrogate for Last-Modified)."""
+    sha256 changed (the code-corpus surrogate for Last-Modified).
+
+    The batch is first collapsed to ONE row per (repo, path) — newest wins
+    (max mtime, then max commit as the deterministic tiebreak).  A
+    streaming micro-batch can legitimately deliver two revisions of the same file
+    (maxFilesPerTrigger batching); without the collapse both rows would be
+    "fresh", the stable-id join would fan out multiplicatively, and the doc
+    would be double-counted in postings/df/norms."""
+    dedup_key = DOC_KEY if mtime_col else UPSERT_KEY  # match the join key
+    w = Window.partitionBy(*dedup_key).orderBy(
+        *([F.col(mtime_col).desc()] if mtime_col else []),
+        F.col("commit").desc(),
+    )
+    new_corpus = (
+        new_corpus.withColumn("_rev_rn", F.row_number().over(w))
+        .where(F.col("_rev_rn") == 1)
+        .drop("_rev_rn")
+    )
     if stored_docs is None:
         n = new_corpus.count()
         return FreshnessPlan(new_corpus, new_corpus.limit(0), n, 0)
@@ -137,10 +155,55 @@ def incremental_update(
             n_docs=int(storage.table_meta("docs")["rows"]) if stored is not None else 0,
         )
 
+    cfg = _stored_layout(spark, storage, cfg)
+
     if stored is None or not all(storage.has_table(t) for t in _FULL_TABLES):
+        if stored is not None and storage.has_table("corpus_tok"):
+            # Partial index (e.g. crash after docs/corpus_tok committed but
+            # before forward/blocks): rebuilding from plan.fresh ALONE would
+            # silently drop every unchanged stored doc — merge the stored
+            # token arrays with the fresh delta and rebuild downstream.
+            old_tok = storage.read_table(spark, "corpus_tok")
+            fresh_prep = P.prepare_corpus(plan.fresh, cfg.analysis)
+            # common columns (module/doc_id/dbucket are re-derived by
+            # with_doc_ids inside build_from_prepared)
+            tok_cols = [
+                c for c in old_tok.columns
+                if c in set(fresh_prep.columns) and c not in ("doc_id", "dbucket")
+            ]
+            keep_old = old_tok.join(
+                plan.fresh.select(*UPSERT_KEY), UPSERT_KEY, "left_anti"
+            ).select(*tok_cols)
+            fresh_tok = fresh_prep.select(*tok_cols)
+            storage.invalidate_from(list(STAGES))
+            return IndexBuilder(spark, storage, cfg).build_from_prepared(
+                keep_old.unionByName(fresh_tok), resume=False
+            )
         return IndexBuilder(spark, storage, cfg).build(plan.fresh, resume=False)
 
     return _partition_granular_upsert(spark, storage, plan, cfg)
+
+
+def _stored_layout(
+    spark: SparkSession, storage: ParquetIndexStorage, cfg: IndexConfig
+) -> IndexConfig:
+    """Pin physical-layout constants to the STORED index, not the caller's
+    cfg: an upsert called with a different ``num_term_buckets`` (e.g. the
+    default-cfg streaming entry point over an index built with another
+    bucket count) would otherwise write new vocab/postings rows into
+    buckets computed with the wrong modulus — driver-side bucket pruning
+    then silently misses pre-existing terms."""
+    if not storage.has_table("stats"):
+        return cfg
+    st = storage.read_table(spark, "stats").collect()[0].asDict()
+    from dataclasses import replace
+
+    out = cfg
+    if st.get("num_term_buckets") and int(st["num_term_buckets"]) != cfg.num_term_buckets:
+        out = replace(out, num_term_buckets=int(st["num_term_buckets"]))
+    if st.get("num_doc_buckets") and int(st["num_doc_buckets"]) != out.num_doc_buckets:
+        out = replace(out, num_doc_buckets=int(st["num_doc_buckets"]))
+    return out
 
 
 def _partition_granular_upsert(
