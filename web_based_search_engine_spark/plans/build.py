@@ -86,6 +86,10 @@ class IndexBuilder:
 
     def _run_stages(self, corpus_tok_fn, resume: bool) -> BuildReport:
         t0 = time.time()
+        # ETL path wants AQE (skew-join handling + partition coalescing on
+        # the big shuffles); a QueryEngine in the same session may have
+        # pinned it off for serving — re-pin at build entry.
+        self.spark.conf.set("spark.sql.adaptive.enabled", "true")
         run: set[str] = set()
         skipped: set[str] = set()
         stage_seconds: dict[str, float] = {}

@@ -63,8 +63,19 @@ class QueryEngine:
         scoring: ScoringConfig | None = None,
         mode: str = "blocks",
         analysis: AnalysisConfig | None = None,
+        adaptive: bool | None = False,
     ):
         self.spark = spark
+        # Serving path pins AQE OFF (adaptive=None leaves the session conf
+        # alone): a point query over partition-pruned, statistics-known
+        # scans gains nothing from runtime re-planning, and AQE's
+        # stage-by-stage materialization adds ~0.2-0.35 s driver overhead
+        # per query (measured at sf0.1: hot-term p50 1.13 -> 0.82 s).  The
+        # build path (IndexBuilder) re-enables it — in a real deployment
+        # serving and ETL are separate Spark apps with separate confs; in a
+        # shared session each path pins the conf it needs at entry.
+        if adaptive is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
         self.storage = storage
         self.scoring = scoring or ScoringConfig()
         self.analysis = analysis or AnalysisConfig.full()

@@ -213,6 +213,8 @@ def _partition_granular_upsert(
     cfg: IndexConfig,
 ) -> BuildReport:
     t0 = time.time()
+    # ETL path: pin AQE on (a serving QueryEngine may have pinned it off)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     docs_old = storage.read_table(spark, "docs")
     vocab_old = storage.read_table(spark, "vocab")
 
