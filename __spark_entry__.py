@@ -386,6 +386,17 @@ def _q_event_sessions(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> exact-fixpoint connected components -> removal
+    units (component, n_docs, doc_ids, keep_doc_id).  The fixpoint makes
+    the result iteration-order independent, so the recursive-SQL oracle
+    (transitive closure + min-reachable label) matches exactly."""
+    docs = _docs(spark, sf_dir).select("doc_id", _raw_tokens_col().alias("toks"))
+    return D.dedup_clusters(
+        docs, "doc_id", "toks", num_hashes=16, bands=4, shingle_k=3, threshold=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_term_frequencies": _q_tf,
@@ -418,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_pagerank": _q_pagerank,
         "q29_event_windows": _q_event_windows,
         "q30_event_sessions": _q_event_sessions,
+        "q31_dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -785,6 +797,34 @@ r{i} AS MATERIALIZED (SELECT n.doc_id,
     )
 
 
+def _sql_dedup_clusters() -> str:
+    """Transitive closure over the q17 pair set via a recursive CTE, then
+    component = min reachable id.  ``pairs``/``edges`` are MATERIALIZED
+    (referenced twice); the closure itself is set-semantics UNION, which is
+    what terminates it."""
+    inner = _sql_minhash_near_dups(16, 4, 3, 200, 0.5)
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({inner}),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component FROM reach GROUP BY src
+)
+SELECT component::BIGINT AS component,
+       count(*)::BIGINT AS n_docs,
+       list_sort(list(doc_id)) AS doc_ids,
+       min(doc_id)::BIGINT AS keep_doc_id
+FROM labels GROUP BY component
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_term_frequencies": f"""
@@ -885,6 +925,7 @@ SELECT coalesce(outs.doc_id, ins.doc_id) AS doc_id,
 FROM outs FULL OUTER JOIN ins ON outs.doc_id = ins.doc_id
 """,
         "q28_pagerank": _sql_pagerank(),
+        "q31_dedup_clusters": _sql_dedup_clusters(),
         "q29_event_windows": """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        event_type,

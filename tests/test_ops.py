@@ -217,3 +217,34 @@ def test_real_decode_raises_not_implemented(spark):
     with pytest.raises(Exception) as ei:
         MM.image_features(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Fixpoint min-label propagation: a 6-node chain (needs several
+    propagation rounds), a separate triangle, and pair-order independence."""
+    from web_based_search_engine_spark.operators.dedup import connected_components
+
+    pairs = [(2, 1), (2, 3), (4, 3), (5, 4), (6, 5),   # chain 1-2-3-4-5-6
+             (10, 11), (11, 12), (12, 10)]             # triangle 10-11-12
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(df).collect()}
+    assert {k: v for k, v in got.items() if k <= 6} == {i: 1 for i in range(1, 7)}
+    assert {k: v for k, v in got.items() if k >= 10} == {i: 10 for i in (10, 11, 12)}
+
+
+def test_dedup_clusters_merges_transitive_pairs(spark):
+    """A~B and B~C (but A!~C directly) must land in ONE cluster."""
+    from web_based_search_engine_spark.operators.dedup import dedup_clusters
+
+    base = ["w%d" % i for i in range(40)]
+    rows = [
+        (1, base),                    # A
+        (2, base[:38] + ["x", "y"]),  # B ~ A
+        (3, base[:36] + ["x", "y", "z", "q"]),  # C ~ B (less ~ A)
+        (9, ["totally"] * 5 + ["different"] * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    out = dedup_clusters(df, "doc_id", "toks", threshold=0.5).collect()
+    comp = {r["component"]: r for r in out}
+    assert len(comp) == 1 and 1 in comp
+    assert comp[1]["doc_ids"] == [1, 2, 3] and comp[1]["keep_doc_id"] == 1

@@ -337,3 +337,88 @@ def simhash_candidate_pairs(fingerprints: DataFrame, id_col: str,
         .select(F.col("p.id_a").cast("long").alias("id_a"), F.col("p.id_b").cast("long").alias("id_b"))
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into duplicate CLUSTERS ->
+    (doc_id, component) where component = min doc id reachable.
+
+    The missing last step of a dedup pipeline: LSH+verify emits pairwise
+    evidence, but the unit of removal is the transitive CLUSTER (keep one
+    representative per component, drop the rest).
+
+    Algorithm: iterative min-id propagation to an exact fixpoint — each
+    round every node adopts the smallest label among itself and its
+    neighbors; converged when no label changed.  Per round: ONE shuffle
+    (the edge⋈label join + min agg, map-side combined) and a 1-row
+    convergence count; labels are localCheckpoint'ed each round (same
+    O(1)-lineage discipline as links.pagerank).  Rounds needed = graph
+    diameter ≤ cluster size; near-dup clusters are dense (diameter 2-3 in
+    practice), and real engines (GraphX/GraphFrames CC) use the same
+    propagation shape with large/small-star optimizations for adversarial
+    chains.  ``max_iter`` is a runaway bound, not a correctness knob — the
+    fixpoint makes the result iteration-count-independent, which is what
+    lets a recursive-SQL oracle (different evaluation order) match exactly.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("component"),
+                (F.col("_nmin") < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = updated.where(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full pipeline to removal units: near-dup pairs -> connected
+    components -> (component, n_docs, doc_ids, keep_doc_id).  Docs in no
+    pair are implicitly their own singleton cluster (not emitted)."""
+    pairs = minhash_near_duplicates(
+        df, id_col, tokens_col, num_hashes, bands, shingle_k, threshold
+    )
+    cc = connected_components(pairs)
+    return cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+    )
