@@ -105,8 +105,46 @@ def main() -> None:
          "two-phase aggregate -> broadcast stats join -> TakeOrderedAndProject."),
         ("q17_minhash_near_dups", "MinHash LSH: signature HashAggregate, band "
          "explode, bucket self-pairing, Jaccard verify joins."),
+        ("q29_event_windows", "Tumbling-window aggregation: one partial->final "
+         "HashAggregate keyed on (window, event_type); the identical plan "
+         "runs under Structured Streaming with watermark state."),
+        ("q30_event_sessions", "Gap sessionization via session_window: Spark "
+         "plans it as a sort-merge session aggregation keyed on user_id — "
+         "associative state merge, no per-user window-function total sort."),
     ]:
         sections.append((f"Driver query: {name}", blurb, plan_of(qs[name](spark, SF_DIR))))
+
+    # --- pagerank: one representative ITERATION plan ------------------------
+    # (the full 10-iteration frame is checkpoint-truncated per round — the
+    # per-iteration plan IS the scale story: one edge-join shuffle, a
+    # broadcast 1-row dangling aggregate, no driver collect in the loop)
+    from web_based_search_engine_spark.operators import links as L
+
+    docs = entry._docs(spark, SF_DIR).select(
+        "doc_id", entry._raw_tokens_col().alias("toks")
+    )
+    edges = L.prefix_group_links(docs, "doc_id", "toks", k=4).persist()
+    nodes = (
+        edges.select(F.col("src_doc_id").alias("doc_id"))
+        .unionByName(edges.select(F.col("dst_doc_id").alias("doc_id")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("src_doc_id").alias("doc_id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    adj = edges.select(
+        F.col("src_doc_id").alias("doc_id"), F.col("dst_doc_id").alias("dst_id")
+    ).join(out_deg, "doc_id")
+    n = nodes.count()
+    ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    sections.append((
+        "PageRank: single power iteration (q28 runs 10, "
+        "localCheckpoint-truncated so planning stays O(1) per round)",
+        "One data-sized shuffle per iteration: adj ⋈ ranks on doc_id then "
+        "partial->final HashAggregate on dst; the dangling-mass aggregate "
+        "enters as a broadcast of a 1-row frame (no collect in the loop).",
+        plan_of(L.pagerank_iteration(nodes, adj, out_deg, ranks, n, 0.85)),
+    ))
 
     checks = []
     joined = "\n".join(p for _, _, p in sections)

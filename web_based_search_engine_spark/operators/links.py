@@ -212,35 +212,50 @@ def pagerank(
     adj.count()
     ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(n_iter):
-        contrib = (
-            adj.join(ranks, "doc_id")
-            .select(
-                F.col("dst_id").alias("doc_id"),
-                (F.col("rank") / F.col("out_degree")).alias("c"),
-            )
-            .groupBy("doc_id")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        dangling = (
-            ranks.join(out_deg, "doc_id", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
-        )
-        new_ranks = (
-            nodes.join(contrib, "doc_id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "doc_id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dangling") / n)
-                ).alias("rank"),
-            )
-            .localCheckpoint()  # eager: materializes AND truncates lineage
-        )
+        new_ranks = pagerank_iteration(
+            nodes, adj, out_deg, ranks, n, damping
+        ).localCheckpoint()  # eager: materializes AND truncates lineage
         ranks.unpersist()
         ranks = new_ranks
     nodes.unpersist()
     adj.unpersist()
     out_deg.unpersist()
     return ranks
+
+
+def pagerank_iteration(
+    nodes: DataFrame,
+    adj: DataFrame,
+    out_deg: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    damping: float,
+) -> DataFrame:
+    """One un-checkpointed power-iteration frame (exposed so plan tooling
+    can EXPLAIN the per-iteration dataflow — ``pagerank``'s return value is
+    checkpoint-truncated and would show only the cache scan)."""
+    contrib = (
+        adj.join(ranks, "doc_id")
+        .select(
+            F.col("dst_id").alias("doc_id"),
+            (F.col("rank") / F.col("out_degree")).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("contrib"))
+    )
+    dangling = (
+        ranks.join(out_deg, "doc_id", "left_anti")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+    )
+    return (
+        nodes.join(contrib, "doc_id", "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "doc_id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dangling") / n)
+            ).alias("rank"),
+        )
+    )
