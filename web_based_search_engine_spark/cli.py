@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--table", default=None)
     pr.add_argument("-n", type=int, default=20)
 
+    pg = sub.add_parser("pagerank", help="PageRank over the stored link graph")
+    pg.add_argument("--index", required=True)
+    pg.add_argument("--iters", type=int, default=10)
+    pg.add_argument("--damping", type=float, default=0.85)
+    pg.add_argument("-n", type=int, default=20)
+
     pv = sub.add_parser("server", help="JSON HTTP search endpoint (JavalinServer analog)")
     pv.add_argument("--index", required=True)
     pv.add_argument("--host", default="127.0.0.1")
@@ -121,6 +127,18 @@ def main(argv: list[str] | None = None) -> int:
             df = storage.read_table(spark, name)
             order = [c for c in ("term_id", "doc_id", "bucket") if c in df.columns]
             (df.orderBy(*order) if order else df).show(args.n, truncate=60)
+    elif args.cmd == "pagerank":
+        from .operators.links import pagerank
+
+        storage = ParquetIndexStorage(args.index)
+        links = storage.read_table(spark, "links")
+        pr = pagerank(links, damping=args.damping, n_iter=args.iters)
+        docs = storage.read_table(spark, "docs").select("doc_id", "repo", "path")
+        (
+            pr.join(docs, "doc_id")
+            .orderBy(F.desc("rank"), "doc_id")
+            .show(args.n, truncate=60)
+        )
     elif args.cmd == "server":
         from .server import SearchServer
 
