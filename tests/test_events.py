@@ -123,3 +123,20 @@ def test_window_stats_streaming_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from win_out").collect()
     }
     assert streamed == batch and len(batch) >= 2
+
+
+def test_aqe_conf_split(spark, built_index, tmp_path):
+    """QueryEngine pins AQE off for serving; a subsequent build pins it
+    back on — the conf toggle both paths rely on."""
+    from web_based_search_engine_spark import fixtures
+    from web_based_search_engine_spark.config import IndexConfig
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.plans.query import QueryEngine
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+
+    QueryEngine(spark, built_index["storage"], mode="columnar")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    IndexBuilder(
+        spark, ParquetIndexStorage(tmp_path / "aqe_idx"), IndexConfig(num_term_buckets=2)
+    ).build(fixtures.corpus_df(spark, 50))
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
