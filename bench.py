@@ -69,11 +69,19 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
     corpus = spark.read.parquet(corpus_path)
     n_docs = corpus.count()
 
-    storage = ParquetIndexStorage(os.path.join(workdir, "idx"))
+    # best-of-2 builds: identical builds on this time-shared host have
+    # measured 23.5 s vs 95 s within an hour (BASELINE.md noise band) — a
+    # single reading is weather, not signal.  Both trials are full fresh
+    # builds into separate dirs; queries run against the last one.
     cfg = IndexConfig(num_term_buckets=8, block_size=128, salt_buckets=8)
-    t0 = time.time()
-    IndexBuilder(spark, storage, cfg).build(corpus, resume=False)
-    build_sec = time.time() - t0
+    reps_build = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "2"))
+    build_trials = []
+    for i in range(reps_build):
+        storage = ParquetIndexStorage(os.path.join(workdir, f"idx{i}"))
+        t0 = time.time()
+        IndexBuilder(spark, storage, cfg).build(corpus, resume=False)
+        build_trials.append(time.time() - t0)
+    build_sec = min(build_trials)
     results["build_index"] = round(build_sec, 3)
 
     search_queries = {
@@ -107,6 +115,8 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
         "q01_term_frequencies", "q05_bm25_top50", "q09_dedup_exact",
         "q10_minhash_signatures", "q11_language_id", "q12_quality_features",
         "q14_fingerprint", "q15_ann_cosine_top10", "q17_minhash_near_dups",
+        "q28_pagerank", "q29_event_windows", "q30_event_sessions",
+        "q31_dedup_clusters",
     ]:
         t0 = time.time()
         # count(), not collect(): measure the distributed compute, not the
@@ -118,6 +128,7 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
     return {
         "total_sec": round(total, 3),
         "build_sec": round(build_sec, 3),
+        "build_trials": [round(t, 3) for t in build_trials],
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / build_sec, 1),
         "query_p50_sec": round(q_p50, 3),
