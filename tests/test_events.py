@@ -140,3 +140,45 @@ def test_aqe_conf_split(spark, built_index, tmp_path):
         spark, ParquetIndexStorage(tmp_path / "aqe_idx"), IndexConfig(num_term_buckets=2)
     ).build(fixtures.corpus_df(spark, 50))
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_window_stats_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode streaming with a watermark: an event arriving in a later
+    micro-batch with an event-time older than (max seen ts - watermark) is
+    DROPPED; the on-time panes emit once finalized.  This is the semantics
+    that bounds state at 100 TB — without it every window stays open
+    forever."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    # batch 1: events at 10:00-10:30 and one at 14:00 (advances the
+    # watermark to 14:00 - 1h = 13:00, finalizing the 10:00 pane)
+    b1 = [(1, _ts(0), 1, "click", 1.0), (2, _ts(30), 1, "click", 2.0),
+          (3, _ts(240), 1, "click", 4.0)]
+    spark.createDataFrame(b1, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "late_out")
+
+    def run_stream():
+        # file sink, not memory: only durable sinks support restart from a
+        # checkpoint, and the second run must resume the first's watermark
+        stream_in = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (
+            tumbling_window_stats(stream_in, "1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    # batch 2: a LATE event for the already-finalized 10:00 window
+    b2 = [(4, _ts(10), 1, "click", 100.0), (5, _ts(300), 1, "click", 8.0)]
+    spark.createDataFrame(b2, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+
+    rows = {r["window_start"].hour: r for r in spark.read.parquet(out).collect()}
+    # the 10:00 pane was emitted from batch 1 only — the late 100.0 never lands
+    assert rows[10]["n_events"] == 2 and rows[10]["sum_value"] == 3.0
