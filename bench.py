@@ -95,6 +95,9 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
     samples: list[float] = []
     for mode in ("columnar", "blocks"):
         qe = QueryEngine(spark, storage, ScoringConfig(scorer="bm25"), mode=mode)
+        # one untimed warmup: first execution pays codegen + parquet footer
+        # reads that a serving process amortizes across its lifetime
+        qe.search("warmup engines", assemble=False).collect()
         for name, q in search_queries.items():
             per_q: list[float] = []
             for _ in range(reps):
