@@ -321,6 +321,7 @@ def main():
                 "queries": r["queries"],
                 "sf": sf,
                 "build_sec": r["build_sec"],
+                "build_trials": r["build_trials"],
                 "n_docs": r["n_docs"],
                 "docs_per_sec": r["docs_per_sec"],
                 "query_p50_sec": r["query_p50_sec"],
