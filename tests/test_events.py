@@ -126,20 +126,26 @@ def test_window_stats_streaming_equals_batch(spark, tmp_path):
 
 
 def test_aqe_conf_split(spark, built_index, tmp_path):
-    """QueryEngine pins AQE off for serving; a subsequent build pins it
-    back on — the conf toggle both paths rely on."""
-    from web_based_search_engine_spark import fixtures
-    from web_based_search_engine_spark.config import IndexConfig
-    from web_based_search_engine_spark.plans.build import IndexBuilder
+    """QueryEngine pins AQE off on a PRIVATE session clone — serving gets
+    AQE-off plans while the caller's session conf (ETL/analytics default)
+    is never mutated; builder-set confs carry into the clone."""
     from web_based_search_engine_spark.plans.query import QueryEngine
-    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
 
-    QueryEngine(spark, built_index["storage"], mode="columnar")
-    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
-    IndexBuilder(
-        spark, ParquetIndexStorage(tmp_path / "aqe_idx"), IndexConfig(num_term_buckets=2)
-    ).build(fixtures.corpus_df(spark, 50))
-    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    qe = QueryEngine(spark, built_index["storage"], mode="columnar")
+    assert qe.spark is not spark
+    assert qe.spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    # caller's session untouched; engine DataFrames bound to the clone
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+    assert qe.docs.sparkSession is qe.spark
+    # initialSessionOptions (builder confs) survive into the clone
+    assert qe.spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert qe.spark.conf.get("spark.sql.shuffle.partitions") == spark.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    # adaptive=None opts out of the clone entirely (caller manages conf)
+    qe2 = QueryEngine(spark, built_index["storage"], mode="columnar", adaptive=None)
+    assert qe2.spark is spark
 
 
 def test_window_stats_watermark_drops_late_events(spark, tmp_path):

@@ -56,6 +56,56 @@ def test_plan_freshness_mtime_strictly_greater(spark, tmp_path):
     assert plan_gt.n_fresh == 1
 
 
+def test_plan_freshness_mtime_mode_collapses_on_upsert_key(spark, tmp_path):
+    """Identity is (repo, path) in BOTH modes: two revisions (distinct
+    commits) of one file in a single mtime-mode batch collapse to ONE
+    fresh row, ordered by mtime — NOT lexicographic commit (the larger
+    mtime wins even with the lexicographically smaller commit hash).
+    Without the collapse both rows reach the UPSERT_KEY stable-id join
+    and fan out corpus_tok/postings multiplicatively."""
+    rows = [("r/a", "f1.py", "c1", "py", "alpha")]
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(spark, storage, CFG).build(_mini_corpus(spark, rows))
+    stored = storage.read_table(spark, "docs").withColumn("mtime", F.lit(100))
+
+    batch = _mini_corpus(
+        spark,
+        [
+            ("r/a", "f1.py", "zzz", "py", "older revision"),
+            ("r/a", "f1.py", "aaa", "py", "newer revision"),
+        ],
+    ).withColumn(
+        "mtime",
+        F.when(F.col("commit") == "zzz", F.lit(150)).otherwise(F.lit(200)),
+    )
+    plan = plan_freshness(batch, stored, "mtime")
+    assert plan.n_fresh == 1
+    row = plan.fresh.collect()[0]
+    assert row["commit"] == "aaa" and row["content"] == "newer revision"
+
+
+def test_plan_freshness_mtime_missing_from_stored_falls_back_to_sha(
+    spark, tmp_path
+):
+    """mtime_col given but the stored docs table predates it (e.g. the
+    streaming ingest's file-source mtime): comparison falls back to
+    content sha — unchanged content is stale, changed content is fresh."""
+    rows = [("r/a", "f1.py", "c1", "py", "alpha")]
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(spark, storage, CFG).build(_mini_corpus(spark, rows))
+    stored = storage.read_table(spark, "docs")  # no mtime column
+
+    unchanged = _mini_corpus(spark, rows).withColumn("mtime", F.lit(999))
+    plan = plan_freshness(unchanged, stored, "mtime")
+    assert plan.n_fresh == 0 and plan.n_stale == 1
+
+    changed = _mini_corpus(
+        spark, [("r/a", "f1.py", "c2", "py", "alpha CHANGED")]
+    ).withColumn("mtime", F.lit(999))
+    plan2 = plan_freshness(changed, stored, "mtime")
+    assert plan2.n_fresh == 1 and plan2.n_stale == 0
+
+
 def _hash_dir(p):
     import hashlib
     from pathlib import Path

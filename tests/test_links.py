@@ -173,6 +173,16 @@ def test_builder_links_stage_and_assembly(spark, built_index):
     assert saw_neighbor, "query should hit at least one linked doc"
 
 
+def test_pagerank_empty_graph_returns_empty(spark):
+    """A corpus with no cross-references has an empty link table — the
+    ranking is empty, not a ZeroDivisionError."""
+    from web_based_search_engine_spark.operators.links import pagerank
+
+    edges = spark.createDataFrame([], "src_doc_id long, dst_doc_id long")
+    out = pagerank(edges, 0.85, n_iter=3)
+    assert out.columns == ["doc_id", "rank"] and out.count() == 0
+
+
 def test_pagerank_matches_reference_power_iteration(spark):
     """Spark pagerank vs an independent driver-side power iteration on a
     hand graph with a dangling node (3 has no out-edges)."""

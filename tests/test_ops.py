@@ -232,6 +232,18 @@ def test_connected_components_chain_and_islands(spark):
     assert {k: v for k, v in got.items() if k >= 10} == {i: 10 for i in (10, 11, 12)}
 
 
+def test_connected_components_raises_before_returning_partial_labels(spark):
+    """Hitting max_iter before the fixpoint must RAISE, never return a
+    partially-propagated (wrong) labeling: the 6-node chain needs more
+    than one min-label round to converge."""
+    from web_based_search_engine_spark.operators.dedup import connected_components
+
+    pairs = [(2, 1), (2, 3), (4, 3), (5, 4), (6, 5)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=1)
+
+
 def test_dedup_clusters_merges_transitive_pairs(spark):
     """A~B and B~C (but A!~C directly) must land in ONE cluster."""
     from web_based_search_engine_spark.operators.dedup import dedup_clusters

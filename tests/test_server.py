@@ -50,5 +50,8 @@ def test_server_search_and_health(spark, built_index):
         assert status == 400
         status, _ = _get(srv.port, "/nope")
         assert status == 404
+        # malformed k is a CLIENT error (400), not a 500
+        status, body = _get(srv.port, "/search?q=posting&k=abc")
+        assert status == 400 and "integer" in body["error"]
     finally:
         srv.stop()

@@ -364,6 +364,10 @@ def connected_components(
     chains.  ``max_iter`` is a runaway bound, not a correctness knob — the
     fixpoint makes the result iteration-count-independent, which is what
     lets a recursive-SQL oracle (different evaluation order) match exactly.
+    If the bound is hit before the fixpoint (a component whose min-id
+    propagation distance exceeds ``max_iter``, e.g. a >50-doc drift chain)
+    the function RAISES rather than returning a silently-wrong partial
+    labeling — raise ``max_iter`` and rerun.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -377,6 +381,7 @@ def connected_components(
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -398,6 +403,12 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            f"({changed} labels still changing); a component's propagation "
+            f"distance exceeds max_iter — raise max_iter and rerun"
+        )
     return labels
 
 

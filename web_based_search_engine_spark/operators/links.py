@@ -201,6 +201,9 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:  # empty graph (corpus with no cross-references): empty ranking
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame([], "doc_id long, rank double")
     out_deg = edges.groupBy(F.col(src).alias("doc_id")).agg(
         F.count("*").alias("out_degree")
     ).persist()

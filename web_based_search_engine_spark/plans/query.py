@@ -65,17 +65,21 @@ class QueryEngine:
         analysis: AnalysisConfig | None = None,
         adaptive: bool | None = False,
     ):
-        self.spark = spark
-        # Serving path pins AQE OFF (adaptive=None leaves the session conf
-        # alone): a point query over partition-pruned, statistics-known
-        # scans gains nothing from runtime re-planning, and AQE's
-        # stage-by-stage materialization adds ~0.2-0.35 s driver overhead
-        # per query (measured at sf0.1: hot-term p50 1.13 -> 0.82 s).  The
-        # build path (IndexBuilder) re-enables it — in a real deployment
-        # serving and ETL are separate Spark apps with separate confs; in a
-        # shared session each path pins the conf it needs at entry.
+        # Serving path pins AQE OFF (adaptive=None uses the caller's session
+        # and conf as-is): a point query over partition-pruned,
+        # statistics-known scans gains nothing from runtime re-planning, and
+        # AQE's stage-by-stage materialization adds ~0.2-0.35 s driver
+        # overhead per query (measured at sf0.1: hot-term p50 1.13 ->
+        # 0.82 s).  The conf is pinned on a PRIVATE ``newSession()`` clone
+        # (same SparkContext + shared cache, separate SQLConf) so
+        # constructing an engine never mutates the caller's session — ETL /
+        # analytics running next to a serving engine in one process keep
+        # their own AQE setting, the in-process analog of serving and ETL
+        # being separate Spark apps with separate confs.
         if adaptive is not None:
+            spark = spark.newSession()
             spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
+        self.spark = spark
         self.storage = storage
         self.scoring = scoring or ScoringConfig()
         self.analysis = analysis or AnalysisConfig.full()

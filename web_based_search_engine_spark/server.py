@@ -68,6 +68,10 @@ def make_handler(engine):
                 return
             try:
                 k = int(qs.get("k", [str(MAX_SEARCH_RESULTS)])[0])
+            except ValueError:
+                self._json(400, {"error": "k must be an integer"})
+                return
+            try:
                 if k < 1:
                     self._json(400, {"error": "k must be >= 1", "k": k})
                     return

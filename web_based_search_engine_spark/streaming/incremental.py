@@ -80,19 +80,28 @@ def plan_freshness(
 ) -> FreshnessPlan:
     """Split ``new_corpus`` into fresh vs stale rows.
 
-    With ``mtime_col``: fresh iff unseen key or new.mtime > stored.mtime
-    (strict — W8).  Without: fresh iff unseen (repo, path) or content
-    sha256 changed (the code-corpus surrogate for Last-Modified).
+    Document identity is UPSERT_KEY = (repo, path) in BOTH modes — commit
+    is a revision attribute (a re-commit REPLACES the doc, it never creates
+    a second one), exactly like the reference's URL identity.  With
+    ``mtime_col`` present in both frames: fresh iff unseen key or
+    new.mtime > stored.mtime (strict — W8).  Otherwise: fresh iff unseen
+    key or content sha256 changed (the code-corpus surrogate for
+    Last-Modified; used as the fallback when the stored docs table predates
+    the mtime column, e.g. the streaming ingest's file-source mtime, which
+    orders revisions within a batch but is not persisted in ``docs``).
 
     The batch is first collapsed to ONE row per (repo, path) — newest wins
-    (max mtime, then max commit as the deterministic tiebreak).  A
-    streaming micro-batch can legitimately deliver two revisions of the same file
-    (maxFilesPerTrigger batching); without the collapse both rows would be
-    "fresh", the stable-id join would fan out multiplicatively, and the doc
-    would be double-counted in postings/df/norms."""
-    dedup_key = DOC_KEY if mtime_col else UPSERT_KEY  # match the join key
-    w = Window.partitionBy(*dedup_key).orderBy(
-        *([F.col(mtime_col).desc()] if mtime_col else []),
+    (mtime desc when available, then commit desc as the deterministic
+    tiebreak; lexicographic commit order is arbitrary for git hashes, which
+    is why callers that have a real recency signal should pass it as
+    ``mtime_col``).  A streaming micro-batch can legitimately deliver two
+    revisions of the same file (maxFilesPerTrigger batching); without the
+    collapse both rows would be "fresh", the stable-id join would fan out
+    multiplicatively, and the doc would be double-counted in
+    postings/df/norms."""
+    have_new_mtime = bool(mtime_col) and mtime_col in new_corpus.columns
+    w = Window.partitionBy(*UPSERT_KEY).orderBy(
+        *([F.col(mtime_col).desc()] if have_new_mtime else []),
         F.col("commit").desc(),
     )
     new_corpus = (
@@ -104,9 +113,11 @@ def plan_freshness(
         n = new_corpus.count()
         return FreshnessPlan(new_corpus, new_corpus.limit(0), n, 0)
 
-    if mtime_col:
-        old = stored_docs.select(*DOC_KEY, F.col(mtime_col).alias("_old_mtime"))
-        joined = new_corpus.join(old, DOC_KEY, "left")
+    if have_new_mtime and mtime_col in stored_docs.columns:
+        old = stored_docs.groupBy(*UPSERT_KEY).agg(
+            F.max(mtime_col).alias("_old_mtime")
+        )
+        joined = new_corpus.join(old, UPSERT_KEY, "left")
         fresh_cond = F.col("_old_mtime").isNull() | (
             F.col(mtime_col) > F.col("_old_mtime")
         )

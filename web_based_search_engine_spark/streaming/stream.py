@@ -26,6 +26,7 @@ trigger) against an object-store landing prefix; in tests it runs with
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import IndexConfig
@@ -62,11 +63,18 @@ def stream_corpus_ingest(
         spark.readStream.schema(CORPUS_SCHEMA)
         .option("maxFilesPerTrigger", 64)  # bound per-batch upsert size
         .parquet(source_dir)
+        # Source-file modification time = the batch's recency signal: when
+        # one micro-batch carries two revisions of the same (repo, path)
+        # from different landed files, plan_freshness's newest-wins
+        # collapse orders by this, not by lexicographic commit hash (which
+        # is arbitrary).  Not persisted in docs, so cross-batch freshness
+        # still compares content sha (plan_freshness's documented fallback).
+        .withColumn("ingest_mtime", F.col("_metadata.file_modification_time"))
     )
 
     def handle_batch(batch_df, batch_id: int) -> None:
         # empty micro-batches short-circuit inside plan_freshness (n_fresh=0)
-        incremental_update(spark, storage, batch_df, cfg)
+        incremental_update(spark, storage, batch_df, cfg, mtime_col="ingest_mtime")
 
     writer = (
         stream.writeStream.foreachBatch(handle_batch)
