@@ -397,6 +397,64 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _aug_pii_text():
+    """text + deterministic synthetic PII per doc (the synthetic corpus has
+    none) so the redaction rules are exercised for real; the oracle builds
+    the byte-identical string in SQL."""
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7 tel +1415555"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+
+
+def _q_pii_redaction(spark, sf_dir):
+    """PII-redaction audit (functions/curation.py): per-doc email/IP/phone
+    counts + sha256 of the redacted text — one narrow codegen scan."""
+    from web_based_search_engine_spark.functions.curation import redact_pii
+
+    d = _docs(spark, sf_dir).select("doc_id", _aug_pii_text().alias("text"))
+    return redact_pii(d, "doc_id", "text")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample via md5-prefix cutoff
+    (en 50%, de 25%, other languages 10%) — reproducible across engines,
+    partitionings, and runs; no shuffle, no RNG state."""
+    from web_based_search_engine_spark.functions.curation import (
+        hash_stratified_sample,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = hash_stratified_sample(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_rate=0.1
+    )
+    return out.select("doc_id", "lang", "sample_key")
+
+
+def _q_token_shards(spark, sf_dir):
+    """Token-budget export sharding: contiguous ~2000-token shards in
+    doc_id order via range-shuffle + driver prefix offsets (NO global
+    single-partition window — ids.assign_dense_ids discipline)."""
+    from web_based_search_engine_spark.functions.curation import (
+        token_budget_shards,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        TS.whitespace_token_count(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("tokens"),
+    )
+    return token_budget_shards(d, "doc_id", "tokens", budget=2000).select(
+        "doc_id", "tokens", "shard_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_term_frequencies": _q_tf,
@@ -430,6 +488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_event_windows": _q_event_windows,
         "q30_event_sessions": _q_event_sessions,
         "q31_dedup_clusters": _q_dedup_clusters,
+        "q32_pii_redaction": _q_pii_redaction,
+        "q33_stratified_sample": _q_stratified_sample,
+        "q34_token_shards": _q_token_shards,
     }
 
 
@@ -825,6 +886,46 @@ FROM labels GROUP BY component
 """
 
 
+def _sql_pii_redaction() -> str:
+    """DuckDB twin of _q_pii_redaction: rebuild the byte-identical augmented
+    text, apply the SAME three regexes in the SAME order (patterns are
+    imported, not re-typed, so the engines can't drift), count matches on
+    the original text independently per pattern (regexp_extract_all length
+    == Spark regexp_count: both count non-overlapping matches)."""
+    from web_based_search_engine_spark.functions.curation import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    aug = (
+        "coalesce(text, '') || ' contact user' || doc_id::VARCHAR"
+        " || '@example.com from 10.0.' || (doc_id % 250)::VARCHAR"
+        " || '.7 tel +1415555' || (1000 + doc_id % 9000)::VARCHAR"
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, {aug} AS text FROM documents
+),
+red AS (
+  SELECT doc_id, text,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+        '{IPV4_PATTERN}', '<IP>', 'g'),
+      '{PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+       sha256(redacted) AS redacted_sha,
+       len(regexp_extract_all(text, '{EMAIL_PATTERN}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{IPV4_PATTERN}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '{PHONE_PATTERN}'))::BIGINT AS n_phones,
+       length(redacted)::BIGINT AS redacted_chars
+FROM red
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_term_frequencies": f"""
@@ -956,5 +1057,32 @@ SELECT user_id,
        count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS sum_value
 FROM sess GROUP BY user_id, sid
+""",
+        "q32_pii_redaction": _sql_pii_redaction(),
+        "q33_stratified_sample": """
+WITH keyed AS (
+  SELECT doc_id, lang, substring(md5('smp:' || doc_id), 1, 4) AS sample_key
+  FROM documents
+)
+SELECT doc_id, lang, sample_key FROM keyed
+WHERE sample_key < CASE lang WHEN 'en' THEN '8000'
+                             WHEN 'de' THEN '4000'
+                             ELSE '1999' END
+""",
+        "q34_token_shards": r"""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'),
+                    x -> x <> ''))::BIGINT AS tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tokens,
+    coalesce(sum(tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, tokens, (cum_before // 2000)::BIGINT AS shard_id FROM c
 """,
     }

@@ -1,0 +1,169 @@
+"""Curation operators (functions/curation.py): PII redaction, deterministic
+stratified sampling, token-budget sharding.  Each is checked against an
+independent in-Python reference on a small synthetic frame; the engine-level
+DuckDB equivalence runs in test_entry_oracle.py (q32-q34)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_based_search_engine_spark.functions import curation as C
+
+
+# ---------------------------------------------------------------- redact_pii
+
+
+def test_redact_pii_counts_and_sha(spark):
+    rows = [
+        (1, "mail a@b.io and c.d+x@e-f.org end"),
+        (2, "server 10.0.0.1 then 255.255.255.255"),
+        (3, "call +1 415 555-0000 now"),
+        (4, None),
+        (5, "mixed a@b.co at 10.1.2.3 tel +44 20-7946 0958"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in C.redact_pii(df, "doc_id", "text").collect()}
+
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (2, 0, 0)
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 2, 0)
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 1)
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (0, 0, 0)
+    assert got[4]["redacted_chars"] == 0
+    assert (got[5]["n_emails"], got[5]["n_ips"], got[5]["n_phones"]) == (1, 1, 1)
+
+    # sha/len of the redaction must equal a from-scratch Python application
+    # of the same rules in the same order.
+    for doc_id, text in rows:
+        expect = text or ""
+        for pat, rep in C.PII_RULES:
+            expect = re.sub(pat, rep, expect)
+        assert got[doc_id]["redacted_sha"] == hashlib.sha256(
+            expect.encode()
+        ).hexdigest(), doc_id
+        assert got[doc_id]["redacted_chars"] == len(expect), doc_id
+
+
+def test_redact_pii_email_before_ip_order():
+    """Emails whose domain embeds a dotted quad must become <EMAIL>, not
+    have the quad eaten by the IP rule first (this is why PII_RULES order
+    matters).  A bare x@1.2.3.4 is NOT an email under the pattern (the TLD
+    must be alphabetic) and its quad IS redacted as an IP."""
+    def apply(s):
+        for pat, rep in C.PII_RULES:
+            s = re.sub(pat, rep, s)
+        return s
+
+    assert apply("a@1.2.3.4.com stays") == "<EMAIL> stays"
+    assert apply("x@1.2.3.4 stays") == "x@<IP> stays"
+
+
+# ------------------------------------------------- hash_stratified_sample
+
+
+def test_hex4_edges():
+    assert C._hex4(0.0) == "0000"  # key < "0000" never true -> keeps nothing
+    assert C._hex4(1.0) == "zzzz"  # above every hex key -> keeps everything
+    assert C._hex4(0.5) == "8000"
+    with pytest.raises(ValueError):
+        C._hex4(1.5)
+    with pytest.raises(ValueError):
+        C._hex4(-0.1)
+
+
+def _sample_frame(spark, n=2000, parts=4):
+    return (
+        spark.range(n, numPartitions=parts)
+        .withColumn("doc_id", F.col("id"))
+        .withColumn(
+            "lang",
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ),
+        )
+        .drop("id")
+    )
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    df1 = _sample_frame(spark, parts=1)
+    df8 = _sample_frame(spark, parts=8)
+    rates = {"en": 0.5, "de": 0.25}
+    a = sorted(
+        tuple(r) for r in C.hash_stratified_sample(df1, "doc_id", "lang", rates, 0.1).collect()
+    )
+    b = sorted(
+        tuple(r) for r in C.hash_stratified_sample(df8, "doc_id", "lang", rates, 0.1).collect()
+    )
+    assert a == b and len(a) > 0
+
+    # Python reference: pure function of (salt, id).
+    def keep(doc_id, lang):
+        key = hashlib.md5(f"smp:{doc_id}".encode()).hexdigest()[:4]
+        cut = C._hex4(rates.get(lang, 0.1))
+        return key < cut, key
+
+    rows = {r["doc_id"]: r for r in _sample_frame(spark).collect()}
+    expect = sorted(
+        (d, r["lang"], keep(d, r["lang"])[1])
+        for d, r in rows.items()
+        if keep(d, r["lang"])[0]
+    )
+    assert a == expect
+
+
+def test_stratified_sample_rates_are_roughly_honored(spark):
+    df = _sample_frame(spark, n=3000)
+    out = C.hash_stratified_sample(df, "doc_id", "lang", {"en": 0.5}, default_rate=0.0)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"en"}  # default 0.0 drops every other stratum
+    assert 0.35 * 1000 < counts["en"] < 0.65 * 1000  # ~50% of the 1000 en docs
+
+
+# ------------------------------------------------------ token_budget_shards
+
+
+def _shards_reference(rows, budget):
+    """(doc_id, tokens) sorted by id -> {doc_id: shard_id} via plain cumsum."""
+    out, cum = {}, 0
+    for doc_id, tokens in sorted(rows):
+        out[doc_id] = cum // budget
+        cum += tokens
+    return out
+
+
+def test_token_budget_shards_matches_cumsum_reference(spark):
+    rows = [(i, (i * 37) % 90 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long").repartition(8)
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in C.token_budget_shards(df, "doc_id", "tokens", budget=300).collect()
+    }
+    assert got == _shards_reference(rows, 300)
+
+
+def test_token_budget_shards_oversized_doc_gets_own_shard(spark):
+    rows = [(1, 10), (2, 5000), (3, 10), (4, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in C.token_budget_shards(df, "doc_id", "tokens", budget=100).collect()
+    }
+    assert got == _shards_reference(rows, 100)
+    assert got[2] != got[3]  # the giant doc closed its shard
+    assert got[1] == 0 and got[2] == 0  # giant doc STARTS in the open shard
+
+
+def test_token_budget_shards_invariant_to_num_ranges(spark):
+    rows = [(i, (i * 13) % 40 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    a = sorted(tuple(r) for r in C.token_budget_shards(df, "doc_id", "tokens", 200, num_ranges=4).collect())
+    b = sorted(tuple(r) for r in C.token_budget_shards(df, "doc_id", "tokens", 200, num_ranges=64).collect())
+    assert a == b
+
+    with pytest.raises(ValueError):
+        C.token_budget_shards(df, "doc_id", "tokens", 0)

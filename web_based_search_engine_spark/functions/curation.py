@@ -1,0 +1,183 @@
+"""Corpus-curation operators for training-data pipelines: PII redaction,
+deterministic stratified sampling, and token-budget sharding (export
+planning).  These close the curate-and-export end of the pipeline the
+dedup/quality/token operators feed (operators/dedup.py,
+functions/textstats.py).
+
+All three are engineered for the 100 TB shape first:
+
+- ``redact_pii``: one narrow codegen scan (regexp_replace/regexp_count
+  chains), zero shuffles — identical dataflow to textstats.
+- ``hash_stratified_sample``: sampling decision is a pure function of
+  (salt, id) via an md5 prefix threshold — no sort, no shuffle, no RNG
+  state, reproducible across runs/engines/partitionings, and expressible
+  in ANSI SQL for the oracle (same md5-hex-window family as
+  operators/dedup.minhash_signatures).
+- ``token_budget_shards``: a global running sum WITHOUT a global
+  single-partition window — range-shuffle on the id, per-range cumsum,
+  driver-side prefix offsets over the B range totals (B rows on the
+  driver), the same two-phase pattern as operators/ids.assign_dense_ids.
+
+The regex patterns are deliberately restricted to syntax with identical
+semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+bounded repetition, no backrefs/lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared verbatim with the SQL oracles (__spark_entry__).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PHONE_PATTERN = r"\+[0-9][0-9 -]{6,13}[0-9]"
+
+# (pattern, replacement) in application order: emails first (their domains
+# would otherwise be partially eaten by the IP pattern), then IPs, then
+# phone numbers on the running result.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (IPV4_PATTERN, "<IP>"),
+    (PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def redact_pii_text(text: Column | str) -> Column:
+    """The redacted text column: PII_RULES applied in order."""
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    for pat, rep in PII_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (id, redacted_sha, n_emails, n_ips, n_phones, redacted_chars).
+
+    Counts are measured on the ORIGINAL text (each pattern independently);
+    the redaction itself applies the rules sequentially.  The redacted text
+    is surfaced as its sha256 + length — the full column stays in the
+    executor (callers who want the text itself use ``redact_pii_text``);
+    the hash keeps the audit row narrow and lets the DuckDB oracle compare
+    the exact redaction output without shipping the corpus to the driver.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    red = redact_pii_text(text_col)
+    return df.select(
+        F.col(id_col),
+        F.sha2(red, 256).alias("redacted_sha"),
+        F.regexp_count(raw, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(IPV4_PATTERN)).cast("long").alias("n_ips"),
+        F.regexp_count(raw, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
+        F.length(red).cast("long").alias("redacted_chars"),
+    )
+
+
+def _hex4(rate: float) -> str:
+    """Sampling rate -> md5-prefix cutoff string (rate quantized to 1/65536
+    steps): keep iff 4-hex-digit key < cutoff.  Fixed-width lowercase hex
+    compares identically as a STRING in Spark and DuckDB — no hex->int
+    conversion needed (same trick as the minhash hex-window family).
+    rate=1.0 returns "zzzz", lexicographically above every hex key (a
+    5-digit "10000" would compare 'f' vs '1' char-wise and break)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    n = int(rate * 65536)
+    return "zzzz" if n >= 65536 else format(n, "04x")
+
+
+def sample_key(id_col: Column | str, salt: str = "smp") -> Column:
+    """Deterministic 4-hex-digit sample key in [0000, ffff] for a row id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 4)
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "smp",
+) -> DataFrame:
+    """Keep each row iff md5-prefix(salt:id) < cutoff(stratum) — per-stratum
+    Bernoulli sampling that is exactly reproducible (a pure function of the
+    id, independent of partitioning, run order, and engine) and requires no
+    shuffle: the CASE over strata and the md5 both run in the scan stage.
+
+    ``rates`` maps stratum value -> keep probability (quantized to
+    1/65536); unlisted strata use ``default_rate``.  Rows keep all input
+    columns plus ``sample_key`` (the hex prefix, for auditability).
+    """
+    cutoff = F.lit(_hex4(default_rate))
+    for value, rate in sorted(rates.items()):
+        cutoff = F.when(F.col(strata_col) == value, F.lit(_hex4(rate))).otherwise(cutoff)
+    key = sample_key(id_col, salt)
+    return df.withColumn("sample_key", key).where(F.col("sample_key") < cutoff)
+
+
+def token_budget_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_ranges: int = 256,
+) -> DataFrame:
+    """-> input rows + ``shard_id``: contiguous shards of ~``budget``
+    tokens in ascending ``id_col`` order (export planning: each shard is
+    one output file / training chunk with a bounded token count).
+
+    shard_id = floor(cum_before / budget) where cum_before is the exact
+    running token total of all earlier ids — a doc STARTS a new shard when
+    the previous docs filled the budget, so every shard's total is <=
+    budget + (its last doc), and a single doc larger than the budget gets
+    a shard to itself.
+
+    Scale shape (NOT a global window, which would single-partition 100 TB):
+    range-shuffle on id (1 shuffle), per-range running sum via a window
+    PARTITIONED by the range id (each range sorts ~N/B rows), per-range
+    totals to the driver (B rows), prefix offsets broadcast back — the
+    two-phase discipline of operators/ids.assign_dense_ids.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    spark = df.sparkSession
+    num_ranges = max(4, min(num_ranges, spark.sparkContext.defaultParallelism * 4))
+    ranged = (
+        df.repartitionByRange(num_ranges, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_rid", F.spark_partition_id())
+        .persist()
+    )
+    # per-range token totals -> driver prefix offsets (num_ranges rows)
+    totals = (
+        ranged.groupBy("_rid").agg(F.sum(tokens_col).alias("_t")).orderBy("_rid").collect()
+    )
+    offsets, acc = {}, 0
+    for row in totals:  # _rid ascending == id-range ascending
+        offsets[row["_rid"]] = acc
+        acc += int(row["_t"] or 0)
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "_rid int, _range_base long"
+        )
+    )
+    w = (
+        Window.partitionBy("_rid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        ranged.join(offsets_df, "_rid")
+        .withColumn(
+            "_cum_before",
+            F.col("_range_base") + F.coalesce(F.sum(tokens_col).over(w), F.lit(0)),
+        )
+        .withColumn(
+            "shard_id", F.floor(F.col("_cum_before") / F.lit(int(budget))).cast("long")
+        )
+        .drop("_rid", "_range_base", "_cum_before")
+    )
+    return out
