@@ -111,6 +111,14 @@ def main() -> None:
         ("q30_event_sessions", "Gap sessionization via session_window: Spark "
          "plans it as a sort-merge session aggregation keyed on user_id — "
          "associative state merge, no per-user window-function total sort."),
+        ("q32_pii_redaction", "PII redaction audit: one narrow projection — "
+         "regexp chains + sha2 all inside a single WholeStageCodegen span, "
+         "zero exchanges (same dataflow class as textstats)."),
+        ("q34_token_shards", "Token-budget sharding: ONE RangePartitioning "
+         "exchange, then MapInPandas streams the cumsum over the cached "
+         "range-sorted partitions (B-row prefix offsets live in the UDF "
+         "closure) — no `Exchange SinglePartition`, no global window, no "
+         "second hash exchange, no per-partition sort buffer."),
     ]:
         sections.append((f"Driver query: {name}", blurb, plan_of(qs[name](spark, SF_DIR))))
 

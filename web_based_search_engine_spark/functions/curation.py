@@ -134,12 +134,18 @@ def token_budget_shards(
     a shard to itself.
 
     Scale shape (NOT a global window, which would single-partition 100 TB):
-    range-shuffle on id (1 shuffle), per-range running sum via a window
-    PARTITIONED by the range id (each range sorts ~N/B rows), per-range
-    totals to the driver (B rows), prefix offsets broadcast back — the
-    two-phase discipline of operators/ids.assign_dense_ids.
+    range-shuffle on id (the ONLY data-sized shuffle), per-range token
+    totals to the driver (B rows), then an Arrow ``mapInPandas`` cumsum
+    over the already-range-sorted partitions with the B-entry prefix-offset
+    dict captured in the closure — the two-phase discipline of
+    operators/ids.assign_dense_ids.  A ``Window.partitionBy(_rid)`` would
+    be semantically identical but re-hash-exchanges AND re-sorts the whole
+    frame (Spark can't see that _rid ≡ the physical partition); the
+    mapInPandas streams batches with O(batch) memory and zero extra
+    shuffles.  Rows with NULL tokens count as 0 (matching ``sum``'s
+    null-skipping in the window formulation).
     """
-    from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -151,33 +157,36 @@ def token_budget_shards(
         .withColumn("_rid", F.spark_partition_id())
         .persist()
     )
-    # per-range token totals -> driver prefix offsets (num_ranges rows)
-    totals = (
-        ranged.groupBy("_rid").agg(F.sum(tokens_col).alias("_t")).orderBy("_rid").collect()
-    )
+    # per-range token totals (partial-agg'd to <=B rows before the tiny
+    # shuffle) -> driver prefix offsets; empty ranges simply don't appear
+    # (they contribute 0 to every later prefix).
+    totals = ranged.groupBy("_rid").agg(F.sum(tokens_col).alias("_t")).collect()
     offsets, acc = {}, 0
-    for row in totals:  # _rid ascending == id-range ascending
+    for row in sorted(totals, key=lambda r: r["_rid"]):  # ascending == id order
         offsets[row["_rid"]] = acc
         acc += int(row["_t"] or 0)
-    offsets_df = F.broadcast(
-        spark.createDataFrame(
-            [(p, o) for p, o in offsets.items()], "_rid int, _range_base long"
-        )
+
+    out_schema = T.StructType(
+        [f for f in ranged.schema.fields if f.name != "_rid"]
+        + [T.StructField("shard_id", T.LongType(), False)]
     )
-    w = (
-        Window.partitionBy("_rid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    out = (
-        ranged.join(offsets_df, "_rid")
-        .withColumn(
-            "_cum_before",
-            F.col("_range_base") + F.coalesce(F.sum(tokens_col).over(w), F.lit(0)),
-        )
-        .withColumn(
-            "shard_id", F.floor(F.col("_cum_before") / F.lit(int(budget))).cast("long")
-        )
-        .drop("_rid", "_range_base", "_cum_before")
-    )
-    return out
+    b = int(budget)
+
+    def add_shards(batches):
+        # Batches arrive in partition row order == ascending id (the
+        # persisted frame is sortWithinPartitions(id)); one _rid per
+        # physical partition by construction.
+        cum = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if cum is None:
+                cum = offsets.get(int(pdf["_rid"].iloc[0]), 0)
+            t = pdf[tokens_col].fillna(0).astype("int64")
+            ends = t.cumsum()
+            out = pdf.drop(columns=["_rid"])
+            out["shard_id"] = ((cum + ends - t) // b).astype("int64")
+            cum = int(cum + ends.iloc[-1])
+            yield out
+
+    return ranged.mapInPandas(add_shards, out_schema)
