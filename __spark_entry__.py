@@ -455,6 +455,46 @@ def _q_token_shards(spark, sf_dir):
     )
 
 
+def _q_repetition_features(spark, sf_dir):
+    """Gopher-style within-doc repetition ratios (top-/dup-n-gram fractions
+    for n=1,2,3) — a single narrow codegen scan; the per-doc gram counting
+    is a run-length aggregate over the sorted gram array, NOT an
+    explode->groupBy shuffle."""
+    return TS.repetition_features(_docs(spark, sf_dir), "doc_id", "text", ns=(1, 2, 3))
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: word-3-gram overlap of each corpus doc
+    against the deterministic 'benchmark' subset (doc_id % 97 == 0) via a
+    broadcast semi-join of the benchmark gram set."""
+    from web_based_search_engine_spark.functions.curation import (
+        benchmark_contamination,
+    )
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    rest = d.where(F.col("doc_id") % 97 != 0)
+    return benchmark_contamination(rest, bench, "doc_id", "text", n=3)
+
+
+def _q_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel audit: input -> language filter (guess ==
+    en) -> quality filter (score >= 0.6) -> exact dedup (min doc_id per
+    fingerprint) -> stratified sample; one job, two scalar aggregates."""
+    from web_based_search_engine_spark.functions.curation import curation_funnel
+
+    return curation_funnel(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        "lang",
+        rates={"en": 0.5, "de": 0.25},
+        default_rate=0.1,
+        lang="en",
+        quality_min=0.6,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_term_frequencies": _q_tf,
@@ -491,6 +531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_pii_redaction": _q_pii_redaction,
         "q33_stratified_sample": _q_stratified_sample,
         "q34_token_shards": _q_token_shards,
+        "q35_repetition_features": _q_repetition_features,
+        "q36_contamination": _q_contamination,
+        "q37_curation_funnel": _q_curation_funnel,
     }
 
 
@@ -926,6 +969,142 @@ FROM red
 """
 
 
+def _sql_ngrams_expr(n: int) -> str:
+    """DuckDB expression for STRICT word n-grams of token list ``t`` (empty
+    when len(t) < n) — the twin of textstats.strict_ngrams."""
+    if n == 1:
+        return "t"
+    return (
+        f"CASE WHEN len(t) < {n} THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, len(t) - {n} + 2), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' ')) END"
+    )
+
+
+def _sql_repetition(ns: tuple[int, ...] = (1, 2, 3)) -> str:
+    """Twin of textstats.repetition_features: the oracle counts grams the
+    classic way (unnest -> GROUP BY) — deliberately a different algorithm
+    from the engine's sorted-array run-length pass, so agreement checks the
+    semantics, not the implementation."""
+    gram_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {n} AS n, unnest({_sql_ngrams_expr(n)}) AS g FROM toks"
+        for n in ns
+    )
+    out_cols = ",\n  ".join(
+        f"coalesce(max(CASE WHEN a.n = {n} THEN a.total END), 0)::BIGINT AS ngrams_{n},\n"
+        f"  round(coalesce(max(CASE WHEN a.n = {n} THEN a.top * 1.0 / a.total END), 0.0), 6)"
+        f" AS top_gram_frac_{n},\n"
+        f"  round(coalesce(max(CASE WHEN a.n = {n} THEN (a.total - a.singles) * 1.0 / a.total END), 0.0), 6)"
+        f" AS dup_gram_frac_{n}"
+        for n in ns
+    )
+    return f"""
+{_TOKS_CTE},
+g AS (
+    {gram_selects}
+),
+pg AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+a AS (SELECT doc_id, n, sum(c) AS total, max(c) AS top,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS singles
+      FROM pg GROUP BY doc_id, n)
+SELECT d.doc_id,
+  {out_cols}
+FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def _sql_contamination(n: int = 3, modulus: int = 97) -> str:
+    """Twin of curation.benchmark_contamination over the doc_id % modulus
+    benchmark split."""
+    return f"""
+{_TOKS_CTE},
+gs AS (SELECT doc_id, list_distinct({_sql_ngrams_expr(n)}) AS gs FROM toks),
+bench AS (SELECT DISTINCT unnest(gs) AS g FROM gs WHERE doc_id % {modulus} = 0),
+dg AS (SELECT doc_id, unnest(gs) AS g FROM gs WHERE doc_id % {modulus} <> 0),
+hits AS (SELECT doc_id, count(*) AS h FROM dg JOIN bench USING (g) GROUP BY doc_id),
+tot AS (SELECT doc_id, len(gs)::BIGINT AS n_grams FROM gs WHERE doc_id % {modulus} <> 0)
+SELECT t.doc_id, t.n_grams,
+       coalesce(h, 0)::BIGINT AS n_hits,
+       round(CASE WHEN t.n_grams > 0 THEN coalesce(h, 0) * 1.0 / t.n_grams
+                  ELSE 0.0 END, 6) AS hit_frac
+FROM tot t LEFT JOIN hits USING (doc_id)
+"""
+
+
+def _sql_curation_funnel(lang: str = "en", quality_min: float = 0.5) -> str:
+    """Twin of curation.curation_funnel (stage counts): language guess =
+    q11's argmax, quality = q12's composite, fingerprint = q14's min-md5
+    shingle, sample cutoffs = q33's md5-prefix rule (en 8000 / de 4000 /
+    default 1999)."""
+    from web_based_search_engine_spark.functions.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score = {
+        lg: "len(list_filter(t, x -> x IN ({}))) * 1.0 / greatest(len(t), 1)".format(
+            ", ".join(f"'{w}'" for w in LANG_MARKERS[lg])
+        )
+        for lg in langs
+    }
+    stops = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    best = "greatest({})".format(", ".join(f"s_{lg}" for lg in langs))
+    guess = "CASE WHEN best <= 0 THEN 'und' {} END".format(
+        " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang AS stratum, coalesce(text, '') AS raw,
+         {_TOKS} AS t
+  FROM documents
+), scored AS (
+  SELECT *, {", ".join(f"{score[lg]} AS s_{lg}" for lg in langs)} FROM base
+), feat AS (
+  SELECT *, {best} AS best,
+    round(
+      (CASE WHEN len(t) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.25 END)
+      * least(1.0, (CASE WHEN length(raw) > 0
+                         THEN len(regexp_extract_all(raw, '[A-Za-z]')) * 1.0 / length(raw)
+                         ELSE 0.0 END) * 1.5)
+      * least(1.0, (CASE WHEN len(t) > 0
+                         THEN len(list_filter(t, x -> x IN ({stops}))) * 1.0 / len(t)
+                         ELSE 0.0 END) * 5 + 0.5), 6) AS quality,
+    coalesce(list_min(list_transform(
+      CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+           ELSE list_transform(range(1, len(t) - 2),
+                               i -> array_to_string(t[i:i+3], ' ')) END,
+      s -> md5(s))), md5('')) AS fp
+  FROM scored
+), flags AS (
+  SELECT doc_id, stratum,
+         ({guess}) = '{lang}' AS lang_ok,
+         quality >= {quality_min} AS q_ok,
+         fp
+  FROM feat
+), s1 AS (
+  SELECT count(*) AS n_input,
+         sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS n_lang,
+         sum(CASE WHEN lang_ok AND q_ok THEN 1 ELSE 0 END) AS n_quality
+  FROM flags
+), w AS (
+  SELECT fp, min(doc_id) AS id, min_by(stratum, doc_id) AS stratum
+  FROM flags WHERE lang_ok AND q_ok GROUP BY fp
+), s2 AS (
+  SELECT count(*) AS n_dedup,
+         sum(CASE WHEN substring(md5('smp:' || id), 1, 4) <
+                       CASE stratum WHEN 'en' THEN '8000'
+                                    WHEN 'de' THEN '4000'
+                                    ELSE '1999' END
+                  THEN 1 ELSE 0 END) AS n_sample
+  FROM w
+)
+SELECT 0 AS stage_idx, 'input' AS stage, n_input::BIGINT AS rows_out FROM s1
+UNION ALL SELECT 1, 'lang_filter', n_lang::BIGINT FROM s1
+UNION ALL SELECT 2, 'quality_filter', n_quality::BIGINT FROM s1
+UNION ALL SELECT 3, 'exact_dedup', n_dedup::BIGINT FROM s2
+UNION ALL SELECT 4, 'sample', n_sample::BIGINT FROM s2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_term_frequencies": f"""
@@ -1085,4 +1264,7 @@ c AS (
 )
 SELECT doc_id, tokens, (cum_before // 2000)::BIGINT AS shard_id FROM c
 """,
+        "q35_repetition_features": _sql_repetition((1, 2, 3)),
+        "q36_contamination": _sql_contamination(3, 97),
+        "q37_curation_funnel": _sql_curation_funnel("en", 0.6),
     }

@@ -167,3 +167,136 @@ def test_token_budget_shards_invariant_to_num_ranges(spark):
 
     with pytest.raises(ValueError):
         C.token_budget_shards(df, "doc_id", "tokens", 0)
+
+
+# --------------------------------------------------- repetition features
+
+
+def _rep_reference(tokens: list[str], n: int):
+    """Independent Counter-based reference for repetition_features."""
+    from collections import Counter
+
+    grams = (
+        tokens
+        if n == 1
+        else [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    )
+    total = max(len(tokens) - (n - 1), 0)
+    if total == 0:
+        return (0, 0.0, 0.0)
+    c = Counter(grams)
+    top = max(c.values())
+    singles = sum(1 for v in c.values() if v == 1)
+    return (total, round(top / total, 6), round((total - singles) / total, 6))
+
+
+def test_repetition_features_matches_counter_reference(spark):
+    from web_based_search_engine_spark.functions.textstats import repetition_features
+
+    rows = [
+        (1, "a b a b a b"),            # one dominant 2-gram
+        (2, "x"),                       # shorter than n for n>=2
+        (3, ""),                        # empty
+        (4, "w w w w"),                 # all-same token
+        (5, "q r s t u v"),             # all distinct
+        (6, None),                      # null text
+        (7, "a b c a b c d a b"),       # mixed repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_features(df, "doc_id", "text", ns=(1, 2, 3)).collect()
+    }
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9_-]+", (text or "").lower()) if t]
+        for n in (1, 2, 3):
+            total, top_frac, dup_frac = _rep_reference(toks, n)
+            assert got[doc_id][f"ngrams_{n}"] == total, (doc_id, n)
+            assert got[doc_id][f"top_gram_frac_{n}"] == pytest.approx(top_frac), (doc_id, n)
+            assert got[doc_id][f"dup_gram_frac_{n}"] == pytest.approx(dup_frac), (doc_id, n)
+
+
+# ----------------------------------------------- benchmark contamination
+
+
+def test_benchmark_contamination_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # contains bench 3-grams
+            (2, "totally different words here"),
+            (3, "the quick brown dog"),          # 1 of 2 grams hits
+            (4, "x"),                            # no 3-grams at all
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox ran")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in C.benchmark_contamination(docs, bench, "doc_id", "text", n=3).collect()
+    }
+    # bench grams: {the quick brown, quick brown fox, brown fox ran}
+    assert (got[1]["n_grams"], got[1]["n_hits"]) == (3, 2)
+    assert (got[2]["n_grams"], got[2]["n_hits"]) == (2, 0)
+    assert (got[3]["n_grams"], got[3]["n_hits"]) == (2, 1)
+    assert (got[4]["n_grams"], got[4]["n_hits"], got[4]["hit_frac"]) == (0, 0, 0.0)
+    assert got[1]["hit_frac"] == pytest.approx(round(2 / 3, 6))
+
+
+def test_benchmark_contamination_distinct_grams_counted_once(spark):
+    # doc repeats one contaminated phrase 3x -> still 1 hit (distinct grams)
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    row = C.benchmark_contamination(docs, bench, "doc_id", "text", n=3).collect()[0]
+    # distinct 3-grams of doc 1: {a b c, b c a, c a b} -> 1 hit
+    assert (row["n_grams"], row["n_hits"]) == (3, 1)
+
+
+# --------------------------------------------------------- curation funnel
+
+
+def test_curation_funnel_counts_match_python_reference(spark):
+    from web_based_search_engine_spark.functions.curation import curation_funnel
+    from web_based_search_engine_spark.functions.textstats import (
+        document_fingerprint,
+        language_id,
+        quality_features,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {
+        r["stage"]: r["rows_out"]
+        for r in curation_funnel(
+            docs, "doc_id", "text", "lang",
+            rates={"en": 0.5, "de": 0.25}, default_rate=0.1,
+            lang="en", quality_min=0.6,
+        ).collect()
+    }
+    # independent reference composed from the already-tested operators
+    lang = {r["doc_id"]: r["lang_guess"] for r in language_id(docs, "doc_id", "text").collect()}
+    qual = {r["doc_id"]: r["quality"] for r in quality_features(docs, "doc_id", "text").collect()}
+    fp = {r["doc_id"]: r["fingerprint"] for r in document_fingerprint(docs, "doc_id", "text", shingle_k=4).collect()}
+    strata = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+
+    ids = sorted(lang)
+    lang_ok = [i for i in ids if lang[i] == "en"]
+    q_ok = [i for i in lang_ok if qual[i] >= 0.6]
+    winners: dict[str, int] = {}
+    for i in q_ok:
+        winners[fp[i]] = min(winners.get(fp[i], i), i)
+    cut = {"en": "8000", "de": "4000"}
+    sampled = [
+        i for i in winners.values()
+        if hashlib.md5(f"smp:{i}".encode()).hexdigest()[:4]
+        < cut.get(strata[i], "1999")
+    ]
+    assert out["input"] == len(ids)
+    assert out["lang_filter"] == len(lang_ok)
+    assert out["quality_filter"] == len(q_ok)
+    assert out["exact_dedup"] == len(winners)
+    assert out["sample"] == len(sampled)
+    # every stage is a (non-strict) shrink
+    assert out["input"] >= out["lang_filter"] >= out["quality_filter"] >= out["exact_dedup"] >= out["sample"]

@@ -92,6 +92,15 @@ def sample_key(id_col: Column | str, salt: str = "smp") -> Column:
     return F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 4)
 
 
+def stratum_cutoff(strata_col: str, rates: dict[str, float],
+                   default_rate: float = 0.0) -> Column:
+    """Per-stratum md5-prefix cutoff expression (CASE over the rates map)."""
+    cutoff = F.lit(_hex4(default_rate))
+    for value, rate in sorted(rates.items()):
+        cutoff = F.when(F.col(strata_col) == value, F.lit(_hex4(rate))).otherwise(cutoff)
+    return cutoff
+
+
 def hash_stratified_sample(
     df: DataFrame,
     id_col: str,
@@ -109,9 +118,7 @@ def hash_stratified_sample(
     1/65536); unlisted strata use ``default_rate``.  Rows keep all input
     columns plus ``sample_key`` (the hex prefix, for auditability).
     """
-    cutoff = F.lit(_hex4(default_rate))
-    for value, rate in sorted(rates.items()):
-        cutoff = F.when(F.col(strata_col) == value, F.lit(_hex4(rate))).otherwise(cutoff)
+    cutoff = stratum_cutoff(strata_col, rates, default_rate)
     key = sample_key(id_col, salt)
     return df.withColumn("sample_key", key).where(F.col("sample_key") < cutoff)
 
@@ -190,3 +197,145 @@ def token_budget_shards(
             yield out
 
     return ranged.mapInPandas(add_shards, out_schema)
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination scan: per-doc overlap of word n-grams with a
+    benchmark/eval set -> (id, n_grams, n_hits, hit_frac).
+
+    The standard pretraining hygiene check (eval n-gram overlap a la
+    GPT-3/PaLM dataset cards): a doc whose ``hit_frac`` exceeds a policy
+    threshold is dropped or flagged before training.
+
+    Scale shape: the benchmark side is small by nature (benchmarks are
+    MBs; the corpus is the 100 TB side), so its distinct n-gram set is
+    broadcast and the probe is a map-side hash semi-join — the corpus
+    n-gram explode never shuffles; the only exchange is the final
+    partial-agg'd groupBy(id) of (id, hit) pairs.  Distinct grams per doc
+    (not occurrences) so a doc repeating one contaminated phrase counts it
+    once."""
+    from .analysis import tokenize
+    from .textstats import strict_ngrams
+
+    doc_grams = F.array_distinct(strict_ngrams(tokenize(text_col, lowercase=True), n))
+    bench_grams = (
+        bench.select(
+            F.explode(
+                F.array_distinct(strict_ngrams(tokenize(text_col, lowercase=True), n))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    exploded = docs.select(F.col(id_col), F.explode(doc_grams).alias("gram"))
+    hits = (
+        exploded.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(doc_grams).cast("long").alias("n_grams")
+    )
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_grams"),
+            ).otherwise(0.0),
+            6,
+        ).alias("hit_frac"),
+    )
+
+
+def curation_funnel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    lang: str = "en",
+    quality_min: float = 0.5,
+    fingerprint_k: int = 4,
+    salt: str = "smp",
+) -> DataFrame:
+    """End-to-end curation funnel -> (stage_idx, stage, rows_out): the row
+    counts surviving each stage of the standard pretraining pipeline
+    input -> language filter -> quality filter -> exact dedup -> sample.
+
+    The funnel is the audit artifact every dataset card reports; computing
+    it in ONE job (rather than count() per stage) matters at 100 TB.
+
+    Scale shape: all per-doc signals (language guess, quality score,
+    fingerprint) are computed in a single narrow codegen scan via the
+    column-expression builders shared with language_id / quality_features /
+    document_fingerprint — no joins between feature frames.  The only
+    shuffle is the groupBy(fingerprint) of the filtered (fp, id, stratum)
+    rows (exact-dedup winner = min id per fingerprint, the q09 rule); the
+    final counts are two partial-agg'd scalar aggregates combined by a 1x1
+    cross join.
+    """
+    from ..operators.dedup import shingles
+    from .analysis import tokenize
+    from .textstats import lang_guess_col, lang_score_cols, quality_col
+
+    toks = tokenize(text_col, lowercase=True)
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    fingerprint = F.coalesce(
+        F.array_min(F.transform(shingles(toks, fingerprint_k), F.md5)),
+        F.md5(F.lit("")),
+    )
+    flags = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(strata_col).alias("_stratum"),
+        (lang_guess_col(lang_score_cols(toks)) == lang).alias("_lang_ok"),
+        (quality_col(raw, toks) >= quality_min).alias("_q_ok"),
+        fingerprint.alias("_fp"),
+    )
+    scan_counts = flags.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("_lang_ok").cast("long")).alias("n_lang"),
+        F.sum((F.col("_lang_ok") & F.col("_q_ok")).cast("long")).alias("n_quality"),
+    )
+    winners = (
+        flags.where(F.col("_lang_ok") & F.col("_q_ok"))
+        .groupBy("_fp")
+        .agg(F.min("_id").alias("_id"), F.min_by("_stratum", "_id").alias("_stratum"))
+    )
+    keep = sample_key(F.col("_id"), salt) < stratum_cutoff(
+        "_stratum", rates, default_rate
+    )
+    dedup_counts = winners.agg(
+        F.count("*").alias("n_dedup"),
+        F.sum(keep.cast("long")).alias("n_sample"),
+    )
+    row = scan_counts.crossJoin(dedup_counts)
+    stages = [
+        ("input", "n_input"),
+        ("lang_filter", "n_lang"),
+        ("quality_filter", "n_quality"),
+        ("exact_dedup", "n_dedup"),
+        ("sample", "n_sample"),
+    ]
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("stage_idx"),
+                        F.lit(name).alias("stage"),
+                        F.col(c).cast("long").alias("rows_out"),
+                    )
+                    for i, (name, c) in enumerate(stages)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")

@@ -54,41 +54,70 @@ def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda x: x.isin(list(markers))))
 
 
+def lang_score_cols(toks: Column) -> dict[str, Column]:
+    """Per-language marker-hit-ratio expressions over a token array."""
+    n = F.greatest(F.size(toks), F.lit(1))
+    return {
+        lang: _marker_hits(toks, m) / n for lang, m in sorted(LANG_MARKERS.items())
+    }
+
+
+def lang_guess_col(scores: dict[str, Column]) -> Column:
+    """argmax language ('und' if no hits, ties broken by code asc) from the
+    ``lang_score_cols`` expressions — shared by language_id and the
+    curation funnel so both compute the identical guess."""
+    best = F.greatest(*scores.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(scores):  # asc order => deterministic tie-break
+        guess = guess.when(scores[lang] == best, F.lit(lang))
+    return guess
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-word language heuristic -> (id, lang_guess, lang_score).
 
     lang_guess = language with the highest marker-hit ratio (ties broken by
     language code asc, 'und' if no marker hits)."""
     toks = tokenize(text_col, lowercase=True)
-    base = df.select(F.col(id_col), toks.alias("_t")).withColumn(
-        "_n", F.greatest(F.size("_t"), F.lit(1))
-    )
-    scored = base.select(
+    scored = df.select(
         F.col(id_col),
-        *[
-            (_marker_hits(F.col("_t"), m) / F.col("_n")).alias(f"_s_{lang}")
-            for lang, m in LANG_MARKERS.items()
-        ],
+        *[c.alias(f"_s_{lang}") for lang, c in lang_score_cols(toks).items()],
     )
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
-    guess = F.when(best <= 0, F.lit("und"))
-    for lang in langs:  # asc order => deterministic tie-break
-        guess = guess.when(F.col(f"_s_{lang}") == best, F.lit(lang))
+    named = {lang: F.col(f"_s_{lang}") for lang in sorted(LANG_MARKERS)}
     return scored.select(
         F.col(id_col),
-        guess.alias("lang_guess"),
-        F.round(best, 6).alias("lang_score"),
+        lang_guess_col(named).alias("lang_guess"),
+        F.round(F.greatest(*named.values()), 6).alias("lang_score"),
+    )
+
+
+def quality_col(raw: Column, toks: Column,
+                stop_markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """The composite quality score in [0,1] as one expression over (raw
+    text, token array) — shared by quality_features and the curation
+    funnel.  Penalizes empty/huge docs, symbol soup, and stopword-free
+    (unnatural) text — the usual pretraining heuristics."""
+    n = F.size(toks)
+    alpha_ratio = F.when(
+        F.length(raw) > 0,
+        F.regexp_count(raw, F.lit(r"[A-Za-z]")) / F.length(raw),
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, _marker_hits(toks, stop_markers) / n).otherwise(
+        F.lit(0.0)
+    )
+    len_ok = F.when((n >= 5) & (n <= 100000), 1.0).otherwise(0.25)
+    return F.round(
+        len_ok
+        * F.least(F.lit(1.0), alpha_ratio * 1.5)
+        * F.least(F.lit(1.0), stop_ratio * 5 + 0.5),
+        6,
     )
 
 
 def quality_features(df: DataFrame, id_col: str, text_col: str,
                      stop_markers: tuple[str, ...] = LANG_MARKERS["en"]) -> DataFrame:
     """Per-doc quality features + composite score -> (id, n_tokens,
-    mean_token_len, alpha_ratio, stop_ratio, quality).
-
-    quality in [0,1]: penalizes empty/huge docs, symbol soup, and
-    stopword-free (unnatural) text — the usual pretraining heuristics."""
+    mean_token_len, alpha_ratio, stop_ratio, quality)."""
     toks = tokenize(text_col, lowercase=True)
     base = df.select(
         F.col(id_col),
@@ -107,13 +136,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
     stop_ratio = F.when(
         F.col("_n") > 0, _marker_hits(F.col("_t"), stop_markers) / F.col("_n")
     ).otherwise(F.lit(0.0))
-    len_ok = F.when((F.col("_n") >= 5) & (F.col("_n") <= 100000), 1.0).otherwise(0.25)
-    quality = F.round(
-        len_ok
-        * F.least(F.lit(1.0), alpha_ratio * 1.5)
-        * F.least(F.lit(1.0), stop_ratio * 5 + 0.5),
-        6,
-    )
+    quality = quality_col(F.col("_raw"), F.col("_t"), stop_markers)
     return base.select(
         F.col(id_col),
         F.col("_n").cast("long").alias("n_tokens"),
@@ -122,6 +145,97 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
         F.round(stop_ratio, 6).alias("stop_ratio"),
         quality.alias("quality"),
     )
+
+
+def strict_ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams (space-joined), EMPTY array when the doc has fewer than
+    n tokens — unlike dedup.shingles, which falls back to one whole-doc
+    shingle (a fingerprinting convenience that would skew repetition
+    ratios)."""
+    if n == 1:
+        return tokens
+    size = F.size(tokens)
+    return F.when(size < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+
+
+def _gram_run_stats(grams: Column) -> Column:
+    """struct(top, singles) for an array column: the count of the most
+    frequent element and the number of elements occurring exactly once.
+
+    Computed as a run-length pass over the SORTED array with a single
+    ``aggregate`` — per-row, inside whole-stage codegen, so the repetition
+    operator is a pure narrow scan (no explode -> groupBy shuffle of
+    token-granularity rows, which at 100 TB would rival the index build's
+    one big shuffle just to compute a quality column).  The '' sentinel for
+    ``prev`` is safe: grams are built from non-empty tokens."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("maxrun"),
+        F.lit(0).alias("singles"),
+    )
+
+    def merge(acc, x):
+        same = acc.prev == x
+        new_run = F.when(same, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc.maxrun, new_run).alias("maxrun"),
+            F.when(same, acc.singles)
+            .otherwise(acc.singles + F.when(acc.run == 1, 1).otherwise(0))
+            .alias("singles"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            acc.maxrun.alias("top"),
+            (acc.singles + F.when(acc.run == 1, 1).otherwise(0)).alias("singles"),
+        )
+
+    return F.aggregate(F.array_sort(grams), acc0, merge, finish)
+
+
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (1, 2, 3)
+) -> DataFrame:
+    """Gopher-style within-document repetition signals -> (id, and per n:
+    ngrams_{n}, top_gram_frac_{n}, dup_gram_frac_{n}).
+
+    - ``top_gram_frac_n``: occurrences of the single most frequent word
+      n-gram / total n-gram occurrences ("fraction of the doc that is one
+      repeated phrase").
+    - ``dup_gram_frac_n``: occurrences belonging to any n-gram that appears
+      more than once / total ("fraction of the doc inside repeated
+      phrases") — the duplicate-n-gram filters of the Gopher/MassiveText
+      quality rules, on whitespace-normalized lowercase tokens.
+
+    Docs shorter than n tokens report 0 totals and 0.0 fractions."""
+    toks = tokenize(text_col, lowercase=True)
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    for n in ns:
+        base = base.withColumn(f"_s{n}", _gram_run_stats(strict_ngrams(F.col("_t"), n)))
+    out = [F.col(id_col)]
+    for n in ns:
+        total = F.greatest(F.size("_t") - F.lit(n - 1), F.lit(0))
+        out += [
+            total.cast("long").alias(f"ngrams_{n}"),
+            F.round(
+                F.when(total > 0, F.col(f"_s{n}.top") / total).otherwise(0.0), 6
+            ).alias(f"top_gram_frac_{n}"),
+            F.round(
+                F.when(total > 0, (total - F.col(f"_s{n}.singles")) / total).otherwise(
+                    0.0
+                ),
+                6,
+            ).alias(f"dup_gram_frac_{n}"),
+        ]
+    return base.select(*out)
 
 
 def document_fingerprint(df: DataFrame, id_col: str, text_col: str,
