@@ -249,19 +249,29 @@ def _q_link_degrees(spark, sf_dir):
 
 
 def _q_import_link_graph(spark, sf_dir):
-    """Import-reference web graph over the synthetic code corpus (regex link
-    scan + module resolution + neighbor aggregation); engine-only — the
-    documents table has no import statements, and the python-oracle parity
-    is covered by tests/test_links.py."""
-    from web_based_search_engine_spark.config import IndexConfig
-    from web_based_search_engine_spark.fixtures import corpus_df
+    """Import-reference web graph (regex link scan + module resolution +
+    degree aggregation — the LinkIndexer rebuild, operators/links.py) over
+    the documents table with deterministic synthetic import statements
+    appended (the q32 augmentation trick: the word-soup corpus has no
+    imports of its own), so the full extract_refs -> links_frame ->
+    degree_table path gets a DuckDB SQL oracle.  The fixture-corpus variant
+    stays covered by tests/test_links.py."""
     from web_based_search_engine_spark.operators import links as L
-    from web_based_search_engine_spark.operators import postings as P
 
-    tok = P.with_doc_ids(
-        P.prepare_corpus(corpus_df(spark, 300)), IndexConfig(num_term_buckets=2)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("mod"), F.col("doc_id").cast("string"), F.lit(".py")).alias(
+            "path"
+        ),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" import mod"),
+            ((F.col("doc_id") * 7) % 400).cast("string"),
+            F.lit(" from mod"),
+            ((F.col("doc_id") * 13 + 5) % 400).cast("string"),
+        ).alias("content"),
     )
-    return L.degree_table(L.links_from_corpus_tok(tok))
+    return L.degree_table(L.links_frame(d))
 
 
 def _q_full_engine_phrase(spark, sf_dir):
@@ -818,14 +828,57 @@ FROM s WHERE dot / (nx * ny) >= {threshold}
 """
 
 
+def _stem_case_expr() -> str:
+    """CASE expression mapping every distinct raw token of the driver
+    testdata documents tables through the engine's full analysis (stopword
+    -> NULL, else Porter-variant stem), as a SQL literal.
+
+    Porter stemming is not ANSI-SQL-expressible in general, but the
+    synthetic corpus has a FIXED ~31-token vocabulary (identical at every
+    sf — TESTDATA.md generator property), so the total token -> stem
+    function fits in a literal CASE; analyze_text_py (the pytest-fuzzed
+    stemmer) supplies the values.  Unknown tokens pass through unchanged
+    (identity stem), so the oracle stays total even if the vocabulary
+    drifts; a driver regeneration with genuinely NEW stem-relevant tokens
+    would surface as a value mismatch, not a silent skip."""
+    import glob
+
+    import duckdb
+
+    toks: set[str] = set()
+    for p in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+        for col in ("text", "source"):
+            q = (
+                "SELECT DISTINCT unnest(list_filter(regexp_split_to_array("
+                f"lower({col}), '[^a-z0-9_-]+'), x -> x <> '')) "
+                f"FROM read_parquet('{p}')"
+            )
+            toks.update(t for (t,) in duckdb.sql(q).fetchall())
+    branches = []
+    for t in sorted(toks):
+        out = analyze_text_py(t)
+        assert len(out) <= 1, (t, out)
+        branches.append(
+            f"WHEN '{t}' THEN " + (f"'{out[0]}'" if out else "NULL")
+        )
+    return "CASE x " + " ".join(branches) + " ELSE x END"
+
+
 def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75,
-              tw: float = 0.9) -> str:
+              tw: float = 0.9, stem_case: str | None = None) -> str:
     vals = ", ".join(f"('{t}')" for t in terms)
+    raw_tt = "list_filter(regexp_split_to_array(lower(source), '[^a-z0-9_-]+'), x -> x <> '')"
+    raw_bt = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_-]+'), x -> x <> '')"
+    if stem_case is not None:
+        raw_tt = (f"list_filter(list_transform({raw_tt}, x -> {stem_case}),"
+                  " x -> x IS NOT NULL)")
+        raw_bt = (f"list_filter(list_transform({raw_bt}, x -> {stem_case}),"
+                  " x -> x IS NOT NULL)")
     return f"""
 WITH d AS (
   SELECT doc_id,
-    list_filter(regexp_split_to_array(lower(source), '[^a-z0-9_-]+'), x -> x <> '') AS tt,
-    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_-]+'), x -> x <> '') AS bt
+    {raw_tt} AS tt,
+    {raw_bt} AS bt
   FROM documents
 ), lens AS (SELECT doc_id, len(tt) + len(bt) AS len_d FROM d),
 stats AS (SELECT count(*) AS n, avg(len_d) AS avgdl FROM lens),
@@ -1122,6 +1175,10 @@ SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM u GROUP BY term
 {_TOKS_CTE} SELECT count(*)::BIGINT AS n_docs, round(avg(len(t)), 6) AS avg_doc_len FROM toks
 """,
         "q05_bm25_top50": _sql_bm25(BM25_TERMS),
+        "q19_bm25_stemmed_top50": _sql_bm25(
+            [t for w in ["merging", "scanning", "joins"] for t in analyze_text_py(w)],
+            stem_case=_stem_case_expr(),
+        ),
         "q06_phrase_match": f"""
 {_TOKS_CTE}, u AS ({_UNNEST})
 SELECT DISTINCT a.doc_id AS doc_id
@@ -1197,6 +1254,32 @@ grp AS (SELECT pkey, min(doc_id) AS src, count(*) AS n
         FROM keyed GROUP BY pkey HAVING count(*) > 1),
 edges AS (SELECT g.src AS src_doc_id, k.doc_id AS dst_doc_id
           FROM keyed k JOIN grp g USING (pkey) WHERE k.doc_id <> g.src),
+outs AS (SELECT src_doc_id AS doc_id, count(*) AS out_degree FROM edges GROUP BY 1),
+ins  AS (SELECT dst_doc_id AS doc_id, count(*) AS in_degree  FROM edges GROUP BY 1)
+SELECT coalesce(outs.doc_id, ins.doc_id) AS doc_id,
+       coalesce(in_degree, 0)::BIGINT  AS in_degree,
+       coalesce(out_degree, 0)::BIGINT AS out_degree
+FROM outs FULL OUTER JOIN ins ON outs.doc_id = ins.doc_id
+""",
+        "q23_import_link_graph": r"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' import mod' || ((doc_id * 7) % 400)
+           || ' from mod' || ((doc_id * 13 + 5) % 400) AS content
+  FROM documents
+),
+refs AS (
+  SELECT doc_id AS src_doc_id,
+         unnest(list_distinct(regexp_extract_all(content,
+           '(?:import|include|require|from)\s+([A-Za-z0-9_\-]+)', 1))) AS ref
+  FROM aug
+),
+targets AS (SELECT doc_id AS dst_doc_id, 'mod' || doc_id AS ref FROM documents),
+edges AS (
+  SELECT DISTINCT src_doc_id, dst_doc_id
+  FROM refs JOIN targets USING (ref)
+  WHERE src_doc_id <> dst_doc_id
+),
 outs AS (SELECT src_doc_id AS doc_id, count(*) AS out_degree FROM edges GROUP BY 1),
 ins  AS (SELECT dst_doc_id AS doc_id, count(*) AS in_degree  FROM edges GROUP BY 1)
 SELECT coalesce(outs.doc_id, ins.doc_id) AS doc_id,

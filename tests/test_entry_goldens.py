@@ -1,8 +1,9 @@
 """Pinned value-hash goldens for driver queries with no ANSI-SQL oracle.
 
 The driver's CORRECTNESS check can only do a rows-count check for these
-(stemming / seeded-LSH-codebook / synthetic-media queries aren't
-SQL-expressible).  Here each one is pinned to the exact order-insensitive
+(seeded-LSH-codebook / synthetic-media queries aren't SQL-expressible;
+q19/q23 gained SQL oracles in round 2 and keep their goldens as double
+coverage).  Here each one is pinned to the exact order-insensitive
 sha256 value hash the driver's comparator would compute (same
 normalization: 6-dp floats, sorted columns, sorted rows) over the
 deterministic sf0.01 tables — a real equality check, not just a row count
@@ -29,8 +30,11 @@ GOLDEN = {
         ("091a88e232dacec22a3a7f339526c31c111065b971fdedccfe879a4e83065bed", 16),
     "q21_media_frame_sample":
         ("79120017fb102c26241de35c53009f4e00f8b4a9a5e647c1b8453d669cfcf97e", 383),
+    # q23 re-pinned after the round-2 switch to the documents-derived
+    # import corpus (it now ALSO has a DuckDB SQL oracle; the golden stays
+    # as double coverage).
     "q23_import_link_graph":
-        ("6b76cdffe9c3a08c7fc03e940480ebbbf8a98a6ff8ad7f86eb62d06fea204c82", 299),
+        ("fa4bc4ef1464ab5431195fab233e373ace98bad7c65bf547a7a3331ca10dc005", 500),
     "q24_ivf_ann_top10":
         ("aedce7cc9cf0fd4f56e0e228d326f0f357748d261439eafa2ff889b57b3a1c03", 10),
 }
