@@ -140,7 +140,14 @@ def test_aqe_conf_split(spark, built_index, tmp_path):
     assert qe.docs.sparkSession is qe.spark
     # initialSessionOptions (builder confs) survive into the clone
     assert qe.spark.conf.get("spark.sql.session.timeZone") == "UTC"
-    assert qe.spark.conf.get("spark.sql.shuffle.partitions") == spark.conf.get(
+    # serving pins a small point-query shuffle width on the clone only
+    assert qe.spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    # serving_shuffle_partitions=None inherits the session setting
+    qe3 = QueryEngine(
+        spark, built_index["storage"], mode="columnar",
+        serving_shuffle_partitions=None,
+    )
+    assert qe3.spark.conf.get("spark.sql.shuffle.partitions") == spark.conf.get(
         "spark.sql.shuffle.partitions"
     )
     # adaptive=None opts out of the clone entirely (caller manages conf)
