@@ -226,6 +226,15 @@ def _q_embedding_near_dups(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_knn_join(spark, sf_dir):
+    """Batch exact-cosine kNN JOIN: top-10 corpus neighbors for each of the
+    first 5 embedding vectors — the retrieval-eval / hard-negative-mining
+    shape (one partition-local matmul pass over the corpus, tiny shuffle)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.knn_join(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+
+
 def _q_bm25_stemmed(spark, sf_dir):
     """Full analysis pipeline (stop + Porter-variant stem) BM25 — the
     stemming-dependent twin of q05 (pytest oracle covers the stemmer)."""
@@ -544,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_repetition_features": _q_repetition_features,
         "q36_contamination": _q_contamination,
         "q37_curation_funnel": _q_curation_funnel,
+        "q38_knn_join": _q_knn_join,
     }
 
 
@@ -1350,4 +1360,20 @@ SELECT doc_id, tokens, (cum_before // 2000)::BIGINT AS shard_id FROM c
         "q35_repetition_features": _sql_repetition((1, 2, 3)),
         "q36_contamination": _sql_contamination(3, 97),
         "q37_curation_funnel": _sql_curation_funnel("en", 0.6),
+        "q38_knn_join": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+r AS (SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM r WHERE rank <= 10
+""",
     }

@@ -110,6 +110,45 @@ def test_cosine_topk_matches_numpy(spark):
         assert c == pytest.approx(float(sims[i]), rel=1e-5)
 
 
+def test_knn_join_matches_per_query_topk(spark):
+    """Batch kNN join == running cosine_topk once per query vector, on an
+    input spread over several partitions (exercises the cross-batch
+    accumulator + per-partition prune)."""
+    rng = np.random.RandomState(19)
+    vecs = rng.randn(60, 16).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(7)
+    qids = [0, 7, 13]
+    queries = df.where(F.col("vec_id").isin(qids))
+    got = SIM.knn_join(df, queries, k=5).collect()
+    assert len(got) == len(qids) * 5
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid in qids:
+        want = [(i + 1, r["vec_id"], r["cosine"]) for i, r in enumerate(
+            SIM.cosine_topk(df, [float(x) for x in vecs[qid]], k=5).collect())]
+        assert sorted(by_q[qid]) == want
+
+
+def test_knn_join_accumulator_prune(spark):
+    """Force the in-partition re-prune path (many batches into one
+    partition, tiny k) and check exactness still holds."""
+    rng = np.random.RandomState(29)
+    vecs = rng.randn(400, 8).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(1)
+    queries = df.where(F.col("vec_id") == 0)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got = [(r["vec_id"], r["rank"]) for r in SIM.knn_join(df, queries, k=3).collect()]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    exact = [r["vec_id"] for r in SIM.cosine_topk(df, [float(x) for x in vecs[0]], k=3).collect()]
+    assert [v for v, _ in sorted(got, key=lambda t: t[1])] == exact
+
+
 def test_lsh_ann_recall(spark):
     rng = np.random.RandomState(11)
     base = rng.randn(64).astype(np.float32)

@@ -269,3 +269,104 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine k-nearest-neighbor JOIN: for EVERY query vector, the
+    top-k corpus vectors -> (query_id, vec_id, cosine, rank).
+
+    The batch shape of cosine_topk — retrieval-eval sweeps, cross-corpus
+    dedup probes, hard-negative mining — where the query side is a small
+    set (10^2-10^5) and the corpus is the 100 TB side.
+
+    Scale shape: the query matrix is collected to the driver (Q x dim
+    doubles — the same small-side contract as the IVF codebook) and shipped
+    to every corpus partition inside a ``mapInArrow``-style pandas stage.
+    Each partition computes its scores as ONE numpy (B x dim) @ (dim x Q)
+    matmul per Arrow batch (no per-row Python) and keeps a per-query
+    running top-k, so the stage emits at most partitions x Q x k rows —
+    the only shuffle is the final rank window over that tiny frame,
+    partitioned by query_id.  Scores are rounded BEFORE selection on both
+    engine and oracle so the deterministic tiebreak (cosine desc, id asc)
+    picks identical sets under last-ulp float divergence.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    qrows = queries.select(qid, qvec).collect()
+    if not qrows:
+        raise ValueError("queries side is empty")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(map(float, r[1])) for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qnorm[qnorm == 0.0] = 1.0
+
+    out_schema = "query_id long, vec_id long, cosine double"
+    kk = int(k)
+    rt = int(round_to)
+
+    def part(batches):
+        # running per-partition top-k candidates across batches
+        acc_q = np.empty(0, dtype=np.int64)
+        acc_c = np.empty(0, dtype=np.int64)
+        acc_s = np.empty(0, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norm = np.sqrt((mat * mat).sum(axis=1))
+            norm[norm == 0.0] = 1.0
+            scores = (mat @ qmat.T) / np.outer(norm, qnorm)  # B x Q
+            scores = np.round(scores, rt)
+            b = len(ids)
+            take = min(kk, b)
+            # per query column: indices of the top `take` rows by
+            # (score desc, id asc) — argsort on the composite key
+            order = np.lexsort((ids[:, None].repeat(len(qids), 1), -scores), axis=0)
+            sel = order[:take]  # take x Q row indices
+            new_q = np.repeat(qids[None, :], take, 0).ravel()
+            new_c = ids[sel].ravel()
+            new_s = np.take_along_axis(scores, sel, axis=0).ravel()
+            acc_q = np.concatenate([acc_q, new_q])
+            acc_c = np.concatenate([acc_c, new_c])
+            acc_s = np.concatenate([acc_s, new_s])
+            # re-prune the accumulator to k per query to bound memory
+            if len(acc_q) > 4 * kk * len(qids):
+                acc_q, acc_c, acc_s = _prune_topk(acc_q, acc_c, acc_s, kk)
+        acc_q, acc_c, acc_s = _prune_topk(acc_q, acc_c, acc_s, kk)
+        yield pd.DataFrame({"query_id": acc_q, "vec_id": acc_c, "cosine": acc_s})
+
+    def _prune_topk(aq, ac, asc_, kk_):
+        if not len(aq):
+            return aq, ac, asc_
+        keep = np.zeros(len(aq), dtype=bool)
+        order = np.lexsort((ac, -asc_, aq))  # group by query, score desc, id asc
+        aqo = aq[order]
+        # rank within each query group
+        first = np.r_[True, aqo[1:] != aqo[:-1]]
+        grp_start = np.flatnonzero(first)
+        ranks = np.arange(len(aqo)) - np.repeat(grp_start, np.diff(np.r_[grp_start, len(aqo)]))
+        keep[order[ranks < kk_]] = True
+        return aq[keep], ac[keep], asc_[keep]
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(part, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
