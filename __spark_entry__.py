@@ -208,9 +208,11 @@ def _q_lsh_ann(spark, sf_dir):
 
 
 def _q_ivf_ann(spark, sf_dir):
-    """IVF ANN: deterministic hash-sampled + Lloyd-refined codebook, probe
-    4/16 cells; engine-only (codebook training is iterative, not ANSI-SQL);
-    recall vs the exact scorer is pytest-verified (tests/test_ops.py)."""
+    """IVF ANN: deterministic md5-sampled + Lloyd-refined codebook, probe
+    4/16 cells.  Full SQL oracle: the DuckDB twin replays seed sampling,
+    one Lloyd pass (assign + per-dim means), cell probing, and the exact
+    in-cell cosine top-k; recall vs the exact scorer is also
+    pytest-verified (tests/test_ops.py)."""
     emb = _emb(spark, sf_dir)
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.ivf_ann_topk(emb, qvec, "vec_id", "embedding", k=10,
@@ -838,6 +840,68 @@ FROM s WHERE dot / (nx * ny) >= {threshold}
 """
 
 
+def _sql_ivf_ann(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """ANSI-SQL twin of SIM.ivf_ann_topk with refine_iters=1: replay the
+    md5('ivf-seed:'||id)-ordered seed sample, one Lloyd pass (cosine-argmax
+    assignment with min-cid tiebreak, per-(cell,dim) means, empty cells
+    keep their seed), probe the n_probe best cells by query-centroid
+    cosine, then exact in-cell cosine top-k — the same computation the
+    engine runs, so the codebook (not just the final ranking) is checked."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds0 AS (SELECT vec_id, v FROM e
+           ORDER BY md5('ivf-seed:' || vec_id) LIMIT {n_centroids}),
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM seeds0),
+a1 AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, s.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, s.v)
+                      / nullif(sqrt(list_dot_product(s.v, s.v)), 0) DESC,
+                      s.cid) AS rn
+    FROM e CROSS JOIN seeds s)
+  WHERE rn = 1
+),
+mx AS (
+  SELECT cell, u.i AS dim, avg(u.x) AS m
+  FROM a1, LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i) u
+  GROUP BY cell, u.i
+),
+refined AS (SELECT cell AS cid, list(m ORDER BY dim) AS v FROM mx GROUP BY cell),
+cent AS (SELECT s.cid, coalesce(r.v, s.v) AS v
+         FROM seeds s LEFT JOIN refined r ON s.cid = r.cid),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid FROM cent c, q
+  ORDER BY list_dot_product(c.v, q.qv)
+           / nullif(sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.qv, q.qv)), 0) DESC, c.cid
+  LIMIT {n_probe}
+),
+a2 AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.v)
+                      / nullif(sqrt(list_dot_product(c.v, c.v)), 0) DESC,
+                      c.cid) AS rn
+    FROM e CROSS JOIN cent c)
+  WHERE rn = 1
+),
+cand AS (SELECT vec_id, v FROM a2 WHERE cell IN (SELECT cid FROM probe)),
+s AS (
+  SELECT vec_id,
+         round(list_dot_product(cand.v, q.qv)
+               / nullif(sqrt(list_dot_product(cand.v, cand.v))
+                        * sqrt(list_dot_product(q.qv, q.qv)), 0), 6) AS cosine
+  FROM cand, q
+)
+SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
 def _stem_case_expr() -> str:
     """CASE expression mapping every distinct raw token of the driver
     testdata documents tables through the engine's full analysis (stopword
@@ -1360,6 +1424,7 @@ SELECT doc_id, tokens, (cum_before // 2000)::BIGINT AS shard_id FROM c
         "q35_repetition_features": _sql_repetition((1, 2, 3)),
         "q36_contamination": _sql_contamination(3, 97),
         "q37_curation_funnel": _sql_curation_funnel("en", 0.6),
+        "q24_ivf_ann_top10": _sql_ivf_ann(16, 4, 10),
         "q38_knn_join": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 5),

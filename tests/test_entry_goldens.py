@@ -35,8 +35,11 @@ GOLDEN = {
     # as double coverage).
     "q23_import_link_graph":
         ("fa4bc4ef1464ab5431195fab233e373ace98bad7c65bf547a7a3331ca10dc005", 500),
+    # q24 re-pinned after the round-2 switch of the IVF seed hash from
+    # xxhash64 to md5 (which made the whole codebook SQL-replayable; q24
+    # now ALSO has a DuckDB oracle — the golden stays as double coverage).
     "q24_ivf_ann_top10":
-        ("aedce7cc9cf0fd4f56e0e228d326f0f357748d261439eafa2ff889b57b3a1c03", 10),
+        ("8e8392a3cd8bf8cccd6263752153125a2ef06af8b0967f0fb555d6a9f3e4a743", 10),
 }
 
 

@@ -146,13 +146,14 @@ def ivf_train_centroids(
     refine_iters: int = 1,
 ) -> list[list[float]]:
     """Deterministic IVF codebook: hash-sample ~n_centroids seed vectors
-    (xxhash64(id) order — reproducible, scan-only, no global sort), then
-    ``refine_iters`` Lloyd passes (assign -> per-cell mean).  The mean is
-    computed by posexplode + groupBy(cell, dim) — fully distributed; only
-    the C x dim codebook ever reaches the driver."""
+    (md5('ivf-seed:'||id) order — reproducible, scan-only, no global sort,
+    and replayable in ANSI SQL so the DuckDB oracle can rebuild the same
+    codebook), then ``refine_iters`` Lloyd passes (assign -> per-cell
+    mean).  The mean is computed by posexplode + groupBy(cell, dim) —
+    fully distributed; only the C x dim codebook ever reaches the driver."""
     seeds = (
         embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit("ivf-seed")))
+        .orderBy(F.md5(F.concat(F.lit("ivf-seed:"), F.col("_id").cast("string"))))
         .limit(n_centroids)
         .orderBy("_id")
         .collect()
