@@ -119,6 +119,35 @@ def main() -> None:
          "range-sorted partitions (B-row prefix offsets live in the UDF "
          "closure) — no `Exchange SinglePartition`, no global window, no "
          "second hash exchange, no per-partition sort buffer."),
+        ("q35_repetition_features", "Within-doc repetition (Gopher top-/dup-"
+         "n-gram fractions): a pure narrow scan — the per-doc gram counting "
+         "is a run-length `aggregate` over the SORTED gram array inside the "
+         "projection, so there is NO explode, NO shuffle, and the whole "
+         "operator is one codegen stage.  An explode -> groupBy(doc_id, "
+         "gram) formulation would shuffle token-granularity rows (at 100 "
+         "TB: a second postings-build-sized exchange just for a quality "
+         "column)."),
+        ("q36_contamination", "Benchmark-contamination scan: the benchmark "
+         "side (deterministic doc_id % 97 subset here; real eval sets are "
+         "MBs) is aggregated to its distinct gram set and BROADCAST — the "
+         "corpus-side explode probes it map-side and never shuffles.  The "
+         "only exchanges are on the tiny benchmark set and the per-doc hit "
+         "counts (partial-agg'd before the exchange); the final "
+         "totals<-hits join is a broadcast left join."),
+        ("q37_curation_funnel", "Curation funnel (input -> lang -> quality "
+         "-> exact-dedup -> sample counts) in ONE job: all per-doc signals "
+         "are computed in a narrow scan via the column builders shared with "
+         "q11/q12/q14; the only data-sized exchange is groupBy(fingerprint) "
+         "over the filtered (fp, id, stratum) rows (SortAggregate because "
+         "of min_by).  The two scalar aggregates meet in a 1x1 broadcast "
+         "cross join; stage rows come from one explode of a literal array."),
+        ("q38_knn_join", "Batch exact-cosine kNN join: the query matrix (Q "
+         "x dim) ships in the mapInPandas closure; each corpus partition "
+         "computes one numpy matmul per Arrow batch and keeps a running "
+         "per-query top-k, so the stage emits <= partitions x Q x k rows.  "
+         "The ONLY exchange is the final rank-window shuffle over that "
+         "tiny candidate frame, hash-partitioned by query_id — the 100 TB "
+         "corpus side is scanned once with no data-sized shuffle."),
     ]:
         sections.append((f"Driver query: {name}", blurb, plan_of(qs[name](spark, SF_DIR))))
 
