@@ -101,3 +101,50 @@ def test_salted_agg_matches_unsalted(spark):
     want = {r["term"]: (r["df"], r["cf"]) for r in plain}
     got = {r["term"]: (r["df"], r["cf"]) for r in vocab.collect()}
     assert got == want
+
+
+def test_build_invariant_to_parallelism(spark, tmp_path):
+    """The cluster-size story at the correctness level (north_rule: same
+    job at N and 4N executors): building the SAME corpus under different
+    input partitionings AND different shuffle widths must publish
+    value-identical index tables and rank-identical query results — no
+    stage may depend on partition count or intra-partition order."""
+    from web_based_search_engine_spark.plans.query import QueryEngine
+
+    cfg = IndexConfig(num_term_buckets=3, block_size=16, salt_buckets=3)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for label, (parts, sp) in {"narrow": (2, "4"), "wide": (13, "32")}.items():
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            storage = ParquetIndexStorage(tmp_path / label)
+            IndexBuilder(spark, storage, cfg).build(
+                fixtures.corpus_df(spark, 120, num_partitions=parts)
+            )
+            tables = {
+                name: _table_hash(spark, storage, name, key)
+                for name, key in [
+                    ("docs", ["doc_id", "repo", "path", "sha256", "tf_max",
+                              "doc_norm"]),
+                    ("vocab", ["term_id", "term", "df", "cf", "bucket"]),
+                    ("postings", ["term_id", "doc_id", "title_tf", "body_tf",
+                                  "title_pos", "body_pos"]),
+                    ("blocks", ["term_id", "block_id", "count", "max_wtf",
+                                "doc_ids", "title_tfs", "body_tfs",
+                                "title_pos", "body_pos"]),
+                ]
+            }
+            qe = QueryEngine(spark, storage, mode="blocks")
+            hits = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in qe.search('merge_sort searching "engines retrieval"',
+                                   assemble=False).collect()
+            ]
+            results[label] = (tables, hits)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+    narrow, wide = results["narrow"], results["wide"]
+    for name in narrow[0]:
+        assert narrow[0][name] == wide[0][name], f"table {name} diverged"
+    assert narrow[1] == wide[1]
