@@ -516,6 +516,23 @@ def _q_curation_funnel(spark, sf_dir):
     )
 
 
+def _q_unigram_lm(spark, sf_dir):
+    """Corpus-trained unigram-LM score (CCNet-style perplexity proxy):
+    shuffle volume bounded by distinct (doc, term) pairs; the term->cf
+    model joins back broadcast."""
+    from web_based_search_engine_spark.functions.curation import unigram_lm_score
+
+    return unigram_lm_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_datacard(spark, sf_dir):
+    """Per-source dataset-card rollup: corpus mass, exact-dup load,
+    language spread, mean heuristic quality — one groupBy(source)."""
+    from web_based_search_engine_spark.functions.curation import corpus_datacard
+
+    return corpus_datacard(_docs(spark, sf_dir), "source", "text", lang_col="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_term_frequencies": _q_tf,
@@ -556,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_contamination": _q_contamination,
         "q37_curation_funnel": _q_curation_funnel,
         "q38_knn_join": _q_knn_join,
+        "q39_unigram_lm": _q_unigram_lm,
+        "q40_datacard": _q_datacard,
     }
 
 
@@ -899,6 +918,62 @@ s AS (
   FROM cand, q
 )
 SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+def _sql_unigram_lm() -> str:
+    """ANSI-SQL twin of curation.unigram_lm_score: same (doc,term) tf, same
+    corpus-total unigram model, mean log10 p per token; ppl from the
+    UNROUNDED logprob (both engines round only at the output)."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+u AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dtf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM u GROUP BY 1, 2),
+v AS (SELECT term, sum(tf) AS cf FROM dtf GROUP BY 1),
+tot AS (SELECT sum(cf) AS n FROM v),
+j AS (SELECT d.doc_id, d.tf, log10(v.cf / (SELECT n FROM tot)) AS lp
+      FROM dtf d JOIN v USING (term)),
+p AS (SELECT doc_id, sum(tf) AS n_tok, sum(tf * lp) / sum(tf) AS lp_raw
+      FROM j GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.n_tok, 0)::BIGINT AS n_tokens,
+       round(p.lp_raw, 6) AS lm_logprob,
+       round(pow(10, -p.lp_raw), 6) AS ppl_proxy
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+def _sql_datacard() -> str:
+    """ANSI-SQL twin of curation.corpus_datacard over (source, text, lang):
+    per-doc quality is q12's composite (rounded to 6dp BEFORE the group
+    mean, mirroring quality_col)."""
+    from web_based_search_engine_spark.functions.textstats import LANG_MARKERS
+
+    stops = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    return f"""
+WITH pre AS (
+  SELECT source AS grp, lang, coalesce(text, '') AS raw,
+         {_TOKS} AS t, md5(coalesce(text, '')) AS fp
+  FROM documents
+), q AS (
+  SELECT grp, lang, fp, len(t)::BIGINT AS n_tok,
+    round((CASE WHEN len(t) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.25 END)
+      * least(1.0, (CASE WHEN length(raw) > 0
+                    THEN len(regexp_extract_all(raw, '[A-Za-z]')) * 1.0 / length(raw)
+                    ELSE 0.0 END) * 1.5)
+      * least(1.0, (CASE WHEN len(t) > 0
+                    THEN len(list_filter(t, x -> x IN ({stops}))) * 1.0 / len(t)
+                    ELSE 0.0 END) * 5 + 0.5), 6) AS quality
+  FROM pre
+)
+SELECT grp AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens,
+       count(DISTINCT fp)::BIGINT AS distinct_texts,
+       (count(*) - count(DISTINCT fp))::BIGINT AS dup_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       round(avg(quality), 6) AS mean_quality
+FROM q GROUP BY grp
 """
 
 
@@ -1425,6 +1500,8 @@ SELECT doc_id, tokens, (cum_before // 2000)::BIGINT AS shard_id FROM c
         "q36_contamination": _sql_contamination(3, 97),
         "q37_curation_funnel": _sql_curation_funnel("en", 0.6),
         "q24_ivf_ann_top10": _sql_ivf_ann(16, 4, 10),
+        "q39_unigram_lm": _sql_unigram_lm(),
+        "q40_datacard": _sql_datacard(),
         "q38_knn_join": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 5),

@@ -300,3 +300,70 @@ def test_curation_funnel_counts_match_python_reference(spark):
     assert out["sample"] == len(sampled)
     # every stage is a (non-strict) shrink
     assert out["input"] >= out["lang_filter"] >= out["quality_filter"] >= out["exact_dedup"] >= out["sample"]
+
+
+# ---------------------------------------------------------- unigram_lm_score
+
+
+def test_unigram_lm_score_matches_counter_reference(spark):
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "alpha beta alpha gamma"),
+        (2, "alpha alpha alpha"),
+        (3, "rare_token beta"),
+        (4, ""),            # zero tokens -> NULL scores
+        (5, None),          # null text  -> NULL scores
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           C.unigram_lm_score(df, "doc_id", "text").collect()}
+
+    tok = lambda t: [x for x in re.split(r"[^a-z0-9_-]+", (t or "").lower()) if x]
+    cf = Counter(w for _, t in rows for w in tok(t))
+    n_total = sum(cf.values())
+    for doc_id, text in rows:
+        toks = tok(text)
+        assert got[doc_id]["n_tokens"] == len(toks)
+        if not toks:
+            assert got[doc_id]["lm_logprob"] is None
+            assert got[doc_id]["ppl_proxy"] is None
+            continue
+        lp = sum(math.log10(cf[w] / n_total) for w in toks) / len(toks)
+        assert got[doc_id]["lm_logprob"] == pytest.approx(lp, abs=1e-6)
+        assert got[doc_id]["ppl_proxy"] == pytest.approx(10 ** -lp, abs=1e-4)
+    # the all-common-token doc must be less perplexing than the rare-token doc
+    assert got[2]["ppl_proxy"] < got[3]["ppl_proxy"]
+
+
+# ----------------------------------------------------------- corpus_datacard
+
+
+def test_corpus_datacard_rollup(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "repoA"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "repoA"),  # exact dup
+        (3, "a wholly different document with its own words in it", "en", "repoA"),
+        (4, "und hier ein deutscher satz mit anderen worten dabei", "de", "repoA"),
+        (5, "tiny", "en", "repoB"),
+        (6, None, "en", "repoB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["source"]: r.asDict() for r in
+           C.corpus_datacard(df, "source", "text", lang_col="lang").collect()}
+
+    a = got["repoA"]
+    assert (a["n_docs"], a["distinct_texts"], a["dup_docs"], a["n_langs"]) == (4, 3, 1, 2)
+    assert a["total_tokens"] == 9 + 9 + 10 + 9
+    b = got["repoB"]
+    assert (b["n_docs"], b["distinct_texts"], b["dup_docs"], b["n_langs"]) == (2, 2, 0, 1)
+    assert b["total_tokens"] == 1
+    # mean_quality averages the same rounded quality_col q12 emits
+    from web_based_search_engine_spark.functions.textstats import quality_col
+    q = {r["doc_id"]: r["q"] for r in df.select(
+        "doc_id", quality_col(F.coalesce(F.col("text"), F.lit("")),
+                              F.filter(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                                               r"[^a-z0-9_-]+"),
+                                       lambda x: x != F.lit(""))).alias("q")).collect()}
+    assert a["mean_quality"] == pytest.approx(round(sum(q[i] for i in (1, 2, 3, 4)) / 4, 6), abs=1e-6)

@@ -339,3 +339,103 @@ def curation_funnel(
             )
         ).alias("s")
     ).select("s.*")
+
+
+def unigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style unigram-LM quality signal -> (id, n_tokens, lm_logprob,
+    ppl_proxy): the corpus-trained unigram language model's mean log10
+    probability per token, and the perplexity proxy 10^(-lm_logprob).
+    Low-probability token soup (minified blobs, random identifiers, binary
+    spill) scores high-perplexity; natural code/prose scores low — the
+    classic LM filter of pretraining pipelines, trained and applied in the
+    same pass with no external model artifact.
+
+    Scale shape: shuffle volume is bounded by DISTINCT (doc, term) pairs,
+    never raw token count — the explode feeds a (doc, term) partial->final
+    HashAggregate; the term->cf model is a second aggregate over those
+    pairs (distinct-terms-sized).  The model joins back via an explicit
+    ``F.broadcast`` (a code-corpus unigram vocab is ~10^6-10^7 rows — MBs);
+    if a corpus outgrows that, drop the hint and the term-keyed sort-merge
+    join reuses the model aggregation's own partitioning.  The corpus
+    total enters as a broadcast 1-row cross join (the q37 pattern), never
+    a driver collect.  Docs with zero tokens surface with n_tokens=0 and
+    NULL scores via the final left join (doc-keyed, co-partitioned with
+    the per-doc aggregate).
+    """
+    from .analysis import tokenize
+
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokenize(text_col, lowercase=True)).alias("_term"),
+    )
+    doc_tf = exploded.groupBy("_id", "_term").agg(F.count("*").alias("_tf"))
+    model = doc_tf.groupBy("_term").agg(F.sum("_tf").alias("_cf"))
+    total = model.agg(F.sum("_cf").alias("_n_total"))
+    model = model.crossJoin(F.broadcast(total)).select(
+        "_term", F.log10(F.col("_cf") / F.col("_n_total")).alias("_lp")
+    )
+    per_doc = (
+        doc_tf.join(F.broadcast(model), "_term")
+        .groupBy("_id")
+        .agg(
+            F.sum("_tf").alias("_n"),
+            (F.sum(F.col("_tf") * F.col("_lp")) / F.sum("_tf")).alias("_lp_raw"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.round("_lp_raw", 6).alias("lm_logprob"),
+            F.round(F.pow(F.lit(10.0), -F.col("_lp_raw")), 6).alias("ppl_proxy"),
+        )
+    )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Per-group dataset-card rollup -> (group, n_docs, total_tokens,
+    distinct_texts, dup_docs, n_langs, mean_quality): the summary table a
+    training-data release ships per source/domain/repo — corpus mass,
+    exact-duplicate load, language spread, and mean heuristic quality.
+
+    Scale shape: every per-doc signal (token count, md5 text fingerprint,
+    quality score) is computed in the narrow pre-aggregation projection
+    (shared column builders with q12/q14); then ONE groupBy(group).  The
+    two COUNT(DISTINCT ...) aggregates plan as a single Expand (3x the
+    group-keyed rows, still partial->final combined) — no self-joins, no
+    second pass over the text."""
+    from .analysis import tokenize
+    from .textstats import quality_col
+
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokenize(text_col, lowercase=True)
+    pre = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(toks).cast("long").alias("_n_tok"),
+        F.md5(raw).alias("_fp"),
+        quality_col(raw, toks).alias("_q"),
+        *([F.col(lang_col).alias("_lang")] if lang_col else [F.lit("?").alias("_lang")]),
+    )
+    return (
+        pre.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n_tok").alias("total_tokens"),
+            F.countDistinct("_fp").alias("distinct_texts"),
+            (F.count("*") - F.countDistinct("_fp")).alias("dup_docs"),
+            F.countDistinct("_lang").alias("n_langs"),
+            F.round(F.avg("_q"), 6).alias("mean_quality"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs", "total_tokens", "distinct_texts", "dup_docs",
+            "n_langs", "mean_quality",
+        )
+    )
