@@ -148,6 +148,17 @@ def main() -> None:
          "The ONLY exchange is the final rank-window shuffle over that "
          "tiny candidate frame, hash-partitioned by query_id — the 100 TB "
          "corpus side is scanned once with no data-sized shuffle."),
+        ("q39_unigram_lm", "Unigram-LM score: shuffle volume bounded by "
+         "DISTINCT (doc, term) pairs (explode feeds a partial->final "
+         "HashAggregate, never raw tokens across the wire); the term->cf "
+         "model re-enters via an explicit BroadcastHashJoin and the corpus "
+         "total as a broadcast 1-row nested-loop join — no driver collect, "
+         "no term-keyed re-shuffle of the pair frame."),
+        ("q40_datacard", "Dataset-card rollup: ONE groupBy(source) over a "
+         "narrow projection computing all per-doc signals inline; the two "
+         "count-distincts plan as a single Expand (3x group-keyed rows, "
+         "still partial->final combined) — no self-joins, no second text "
+         "pass."),
     ]:
         sections.append((f"Driver query: {name}", blurb, plan_of(qs[name](spark, SF_DIR))))
 
