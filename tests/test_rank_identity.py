@@ -203,3 +203,30 @@ def test_size_bytes_metadata(spark, built_index):
         docs.select("repo", "path", "commit", "size_bytes"), ["repo", "path", "commit"]
     )
     assert joined.where(F.col("want") != F.col("size_bytes")).count() == 0
+
+
+def test_wand_persist_registry_bounds_cache_to_one_query(spark, built_index):
+    """A serving loop's persist registry holds AT MOST one query's pruned
+    block set: each wand_top_k call unpersists the previous entry (no
+    per-query block-manager leak, r1 review nit)."""
+    from web_based_search_engine_spark.operators import wand as W
+
+    storage = built_index["storage"]
+    blocks = storage.read_table(spark, "blocks")
+    docs = storage.read_table(spark, "docs")
+    vocab = storage.read_table(spark, "vocab")
+    st = storage.read_table(spark, "stats").collect()[0]
+
+    registry = []
+    W.wand_top_k(blocks, docs, vocab, ["foobar"], st["n_docs"],
+                 st["avg_doc_len"], prune=True,
+                 persist_registry=registry).collect()
+    assert len(registry) == 1
+    first = registry[0]
+    assert first.storageLevel.useMemory  # pinned while current
+
+    W.wand_top_k(blocks, docs, vocab, ["search", "engin"], st["n_docs"],
+                 st["avg_doc_len"], prune=True,
+                 persist_registry=registry).collect()
+    assert len(registry) == 1 and registry[0] is not first
+    assert not first.storageLevel.useMemory  # previous query released

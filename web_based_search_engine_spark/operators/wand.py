@@ -101,6 +101,7 @@ def wand_top_k(
     candidates: DataFrame | None = None,
     term_rows: list[dict] | None = None,
     bounds_cache: dict[int, tuple[float, int]] | None = None,
+    persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a disjunctive BM25 query over the block
     index.  ``prune=False`` gives the exhaustive scorer over the same
@@ -111,9 +112,21 @@ def wand_top_k(
     restricted set.  ``term_rows``: pre-resolved vocab rows (QueryEngine
     dictionary cache) — skips the per-query vocab-scan job.
     ``bounds_cache``: term_id -> (gmax_wtf, gmin_len) memo, mutated in
-    place — repeated terms skip the per-term metadata agg job."""
+    place — repeated terms skip the per-term metadata agg job.
+    ``persist_registry``: caller-owned list of persisted frames; this call
+    first unpersists (and removes) whatever is in it, then appends any
+    frame it persists — a serving loop passing its engine-lifetime list
+    holds AT MOST ONE query's pruned block set in the block-manager
+    instead of leaking one per query to LRU eviction."""
     cfg = cfg or ScoringConfig()
     assert cfg.scorer == "bm25", "WAND upper bounds require the additive BM25 scorer"
+    if persist_registry:
+        # previous query's pruned block set: by now either materialized
+        # (its result was collected) or abandoned — release it before
+        # pinning this query's
+        for prev in persist_registry:
+            prev.unpersist(blocking=False)
+        persist_registry.clear()
     spark = blocks.sparkSession
     qt = term_rows if term_rows is not None else lookup_terms(vocab, terms)
     if not qt:
@@ -182,8 +195,12 @@ def wand_top_k(
 
     # persist: the threshold pass and the final pruned scan read the same
     # pruned block set.  Not unpersisted here — the returned DataFrame is
-    # lazy and still references it (LRU-evicted).
+    # lazy and still references it; the NEXT call through the same
+    # persist_registry releases it (bounded at one query's blocks), and
+    # callers without a registry fall back to LRU eviction.
     cand = cand.persist()
+    if persist_registry is not None:
+        persist_registry.append(cand)
 
     # threshold pass: best block per term only (by query-time ub)
     w = Window.partitionBy("term_id").orderBy(F.desc(ub), "block_id")

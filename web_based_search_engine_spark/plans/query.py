@@ -134,6 +134,9 @@ class QueryEngine:
         # term_id -> (gmax_wtf, gmin_len): WAND global-bound ingredients,
         # filled lazily by wand_top_k (one block-metadata agg per cold term)
         self._bounds_cache: dict[int, tuple[float, int]] = {}
+        # at most one query's pruned block set stays persisted per engine
+        # (wand_top_k unpersists the previous entry on the next search)
+        self._persist_registry: list[DataFrame] = []
 
     def _lookup_cached(self, terms: list[str]) -> list[dict]:
         """Resolve ``terms`` against the vocab through the cache; at most
@@ -222,6 +225,7 @@ class QueryEngine:
                 candidates=candidates,
                 term_rows=term_rows,
                 bounds_cache=self._bounds_cache,
+                persist_registry=self._persist_registry,
             )
         scored = score_query_terms(
             self.postings, self.docs, self.vocab, terms,
