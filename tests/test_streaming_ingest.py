@@ -72,3 +72,45 @@ def test_stream_ingest_available_now(spark, tmp_path):
     assert QueryEngine(spark, storage, mode="columnar").search(
         "omega", assemble=False
     ).count() == 1
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState seen-set: within-batch dups collapse to the
+    deterministic winner, cross-batch re-sends are dropped, and the state
+    survives a query restart over the same checkpoint."""
+    from web_based_search_engine_spark.streaming.stream import (
+        CORPUS_SCHEMA, streaming_exact_dedup)
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_drain():
+        stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(landing)
+        deduped = streaming_exact_dedup(
+            stream, text_col="content", order_cols=["repo", "path"])
+        q = (deduped.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: an in-batch duplicate pair + one unique doc
+    _write_batch(spark, [
+        ("r/b", "z9.py", "c1", "py", "SAME text body"),
+        ("r/a", "a1.py", "c1", "py", "SAME text body"),
+        ("r/a", "u1.py", "c1", "py", "unique one"),
+    ], landing)
+    run_drain()
+    got = {(r["repo"], r["path"]) for r in spark.read.parquet(out).collect()}
+    # winner of the dup pair is min by (repo, path)
+    assert got == {("r/a", "a1.py"), ("r/a", "u1.py")}
+
+    # batch 2 (fresh query, same checkpoint): a re-send of seen text is
+    # dropped, a new text passes
+    _write_batch(spark, [
+        ("r/c", "later.py", "c2", "py", "SAME text body"),
+        ("r/c", "new.py", "c1", "py", "never seen before"),
+    ], landing)
+    run_drain()
+    got2 = {(r["repo"], r["path"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == got | {("r/c", "new.py")}

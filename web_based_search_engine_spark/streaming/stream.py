@@ -86,3 +86,76 @@ def stream_corpus_ingest(
     else:
         writer = writer.trigger(processingTime=processing_interval)
     return writer.start()
+
+
+def streaming_exact_dedup(
+    stream_df,
+    text_col: str = "content",
+    order_cols: list[str] | None = None,
+    ttl_minutes: int | None = None,
+):
+    """Custom stateful operator: exact-duplicate suppression ACROSS
+    micro-batches — the streaming twin of the batch ``dedup_exact``
+    (q09).  Emits only the FIRST document ever seen per md5(text)
+    fingerprint; later arrivals of the same text (same batch or any later
+    batch) are dropped.  Within a batch the winner is deterministic: the
+    row minimal under ``order_cols`` (default: every input column).
+
+    Built on ``applyInPandasWithState`` (this engine's only non-built-in
+    stateful streaming surface — sessionization and windows use the
+    native operators): grouping by fingerprint shards the seen-set across
+    executors as Structured Streaming state, checkpointed with the query,
+    so a restart resumes the dedup set exactly-once.  State per distinct
+    document is one boolean-sized tuple — the usual streaming-dedup
+    memory story; ``ttl_minutes`` bounds it with a processing-time
+    timeout (an expired fingerprint re-admits its next arrival, the
+    standard TTL trade-off; None keeps state forever like
+    ``dropDuplicates`` without watermark).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cols = stream_df.columns
+    order_cols = order_cols or cols
+    with_fp = stream_df.withColumn(
+        "_fp", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    out_schema = stream_df.schema
+    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+
+    def first_only(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            for _ in pdfs:  # drain; fingerprint already emitted
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cand = pdf.sort_values(order_cols, kind="mergesort").iloc[[0]]
+            if first is None:
+                first = cand
+            else:
+                first = (
+                    pd.concat([first, cand])
+                    .sort_values(order_cols, kind="mergesort")
+                    .iloc[[0]]
+                )
+        if first is not None:
+            state.update((True,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield first[cols]
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return with_fp.groupBy("_fp").applyInPandasWithState(
+        first_only, out_schema, "seen boolean", "append", timeout
+    )
