@@ -342,6 +342,65 @@ def _q_incremental_upsert(spark, sf_dir):
     return out
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (applyInPandasWithState seen-set) over the
+    documents table replayed as TWO time-ordered micro-batches (doc_id <
+    250 lands first): emits the first-seen doc per md5(text) fingerprint.
+    The winner is deterministic — min doc_id within the earliest batch
+    containing the fingerprint — so the DuckDB oracle expresses it as a
+    min_by with a batch-major key."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from web_based_search_engine_spark.streaming.stream import streaming_exact_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = _tmp_index_dir("q41_stream_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    split = 250
+    docs.where(F.col("doc_id") < split).coalesce(1).write.parquet(
+        os.path.join(landing, "a")
+    )
+    docs.where(F.col("doc_id") >= split).coalesce(1).write.parquet(
+        os.path.join(landing, "b")
+    )
+    # file-source batch order follows modification time (latestFirst=false)
+    now = time.time()
+    for sub, mt in (("a", now - 120), ("b", now - 60)):
+        d = os.path.join(landing, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (mt, mt))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(landing, "*"))
+    )
+    q = (
+        streaming_exact_dedup(stream, text_col="text", order_cols=["doc_id"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.read.parquet(out).select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+    ).cache()
+    res.count()
+    return res
+
+
 def _q_media_image_features(spark, sf_dir):
     from web_based_search_engine_spark.functions.multimodal import (
         image_features,
@@ -575,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_knn_join": _q_knn_join,
         "q39_unigram_lm": _q_unigram_lm,
         "q40_datacard": _q_datacard,
+        "q41_streaming_dedup": _q_streaming_dedup,
     }
 
 
@@ -1502,6 +1562,14 @@ SELECT doc_id, tokens, (cum_before // 2000)::BIGINT AS shard_id FROM c
         "q24_ivf_ann_top10": _sql_ivf_ann(16, 4, 10),
         "q39_unigram_lm": _sql_unigram_lm(),
         "q40_datacard": _sql_datacard(),
+        "q41_streaming_dedup": """
+WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents),
+w AS (SELECT fp,
+             min_by(doc_id, CASE WHEN doc_id < 250 THEN doc_id
+                                 ELSE doc_id + 100000000 END) AS doc_id
+      FROM d GROUP BY fp)
+SELECT doc_id, fp FROM w
+""",
         "q38_knn_join": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 5),
