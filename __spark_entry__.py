@@ -342,6 +342,15 @@ def _q_incremental_upsert(spark, sf_dir):
     return out
 
 
+def _q_chunking(spark, sf_dir):
+    """Training-export chunking: 128-token windows every 96 tokens with the
+    no-redundant-tail rule; pure Catalyst (sequence + posexplode), zero
+    shuffles."""
+    from web_based_search_engine_spark.functions.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), "doc_id", "text", 128, 96)
+
+
 def _q_streaming_dedup(spark, sf_dir):
     """Streaming exact dedup (applyInPandasWithState seen-set) over the
     documents table replayed as TWO time-ordered micro-batches (doc_id <
@@ -635,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_unigram_lm": _q_unigram_lm,
         "q40_datacard": _q_datacard,
         "q41_streaming_dedup": _q_streaming_dedup,
+        "q42_chunking": _q_chunking,
     }
 
 
@@ -1562,6 +1572,31 @@ SELECT doc_id, tokens, (cum_before // 2000)::BIGINT AS shard_id FROM c
         "q24_ivf_ann_top10": _sql_ivf_ann(16, 4, 10),
         "q39_unigram_lm": _sql_unigram_lm(),
         "q40_datacard": _sql_datacard(),
+        "q42_chunking": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+s AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+st AS (
+  SELECT doc_id, tk, n,
+         unnest(list_filter(range(0, n, 96),
+                            c -> c = 0 OR c - 96 + 128 < n)) AS cs
+  FROM s
+),
+w AS (
+  SELECT doc_id, cs,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cs) - 1 AS chunk_id,
+         tk[cs + 1 : cs + 128] AS piece
+  FROM st
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id, cs::BIGINT AS chunk_start,
+       len(piece)::BIGINT AS n_chunk_tokens,
+       array_to_string(piece, ' ') AS chunk_text
+FROM w
+""",
         "q41_streaming_dedup": """
 WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents),
 w AS (SELECT fp,

@@ -367,3 +367,39 @@ def test_corpus_datacard_rollup(spark):
                                                r"[^a-z0-9_-]+"),
                                        lambda x: x != F.lit(""))).alias("q")).collect()}
     assert a["mean_quality"] == pytest.approx(round(sum(q[i] for i in (1, 2, 3, 4)) / 4, 6), abs=1e-6)
+
+
+# ----------------------------------------------------------- chunk_documents
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 toks: chunks at 0,3,6(,9 tail-covered?)
+        (2, "one two three"),                         # n < chunk -> single chunk
+        (3, ""),                                      # empty -> no chunks
+        (4, None),                                    # null -> no chunks
+        (5, " ".join(f"w{i}" for i in range(4))),     # exactly chunk_tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunk, stride = 4, 3
+    got = {}
+    for r in C.chunk_documents(df, "doc_id", "text", chunk, stride).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"]))
+
+    def ref(text):
+        toks = (text or "").split()
+        out, cid = [], 0
+        for s in range(0, len(toks), stride):
+            if s > 0 and s - stride + chunk >= len(toks):
+                continue  # tail already covered by previous window
+            w = toks[s:s + chunk]
+            out.append((cid, s, len(w), " ".join(w)))
+            cid += 1
+        return out
+
+    for doc_id, text in rows:
+        assert sorted(got.get(doc_id, [])) == ref(text), doc_id
+    # overlap sanity: doc 1 windows start 0,3,6 and the last reaches token 9
+    assert [c[1] for c in sorted(got[1])] == [0, 3, 6]
+    assert got[1][-1][3].endswith("t9")

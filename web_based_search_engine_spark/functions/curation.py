@@ -439,3 +439,53 @@ def corpus_datacard(
             "n_langs", "mean_quality",
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Training-export chunking -> (id, chunk_id, chunk_start, n_chunk_tokens,
+    chunk_text): split each document's whitespace-token stream into windows
+    of ``chunk_tokens`` starting every ``stride`` tokens (overlap =
+    chunk_tokens - stride).  A trailing window is emitted only if the
+    previous window did not already cover the document's tail (no
+    fully-redundant chunks); zero-token docs emit nothing.
+
+    Scale shape: pure Catalyst — tokenize, a per-row ``sequence`` of chunk
+    starts filtered by the tail rule, one ``posexplode``; no shuffle at
+    all (the explode multiplies rows ~n/stride map-side, which is the
+    output's inherent size).  chunk_id is the window ordinal within the
+    doc, so (id, chunk_id) is a stable global key for downstream sharding.
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select(F.col(id_col), toks.alias("_t")).withColumn("_n", F.size("_t"))
+    starts = F.filter(
+        F.when(F.col("_n") > 0, F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride)))
+        .otherwise(F.array().cast("array<int>")),
+        lambda s: (s == 0) | (s - stride + chunk_tokens < F.col("_n")),
+    )
+    return (
+        base.select(
+            F.col(id_col), "_t",
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("_start").cast("long").alias("chunk_start"),
+            F.size(F.slice("_t", F.col("_start") + 1, chunk_tokens))
+            .cast("long").alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice("_t", F.col("_start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )
