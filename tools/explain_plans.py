@@ -159,6 +159,10 @@ def main() -> None:
          "count-distincts plan as a single Expand (3x group-keyed rows, "
          "still partial->final combined) — no self-joins, no second text "
          "pass."),
+        ("q42_chunking", "Training-export chunking: tokenize + per-row "
+         "sequence of window starts + posexplode, all inside one codegen "
+         "span — ZERO exchanges; the explode's fan-out (~n/stride) is the "
+         "output's inherent size, produced map-side."),
     ]:
         sections.append((f"Driver query: {name}", blurb, plan_of(qs[name](spark, SF_DIR))))
 
