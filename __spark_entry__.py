@@ -601,6 +601,25 @@ def _q_datacard(spark, sf_dir):
     return corpus_datacard(_docs(spark, sf_dir), "source", "text", lang_col="lang")
 
 
+def _q_winnow_pairs(spark, sf_dir):
+    """MOSS-style winnowing (token 4-grams, window 4): local fingerprints
+    -> capped fingerprint-bucket pairing -> partial-overlap candidates
+    (id_a, id_b, n_shared, from_truncated_bucket).  Catches a shared run
+    of >= 7 tokens even between globally-dissimilar docs — the code-clone
+    case MinHash whole-doc similarity misses."""
+    from web_based_search_engine_spark.functions.analysis import tokenize
+    from web_based_search_engine_spark.operators.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", tokenize("text", lowercase=True).alias("t")
+    )
+    fps = winnow_fingerprints(toks, "doc_id", "t", k=4, w=4)
+    return winnow_candidate_pairs(fps, "doc_id", min_shared=2, max_bucket_size=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_term_frequencies": _q_tf,
@@ -645,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_datacard": _q_datacard,
         "q41_streaming_dedup": _q_streaming_dedup,
         "q42_chunking": _q_chunking,
+        "q43_winnow_pairs": _q_winnow_pairs,
     }
 
 
@@ -789,6 +809,47 @@ jac AS (
 )
 SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(jaccard, 6) AS jaccard
 FROM jac WHERE jaccard >= {thr}
+"""
+
+
+def _sql_winnow_pairs(k: int = 4, w: int = 4, cap: int = 200,
+                      min_shared: int = 2) -> str:
+    """ANSI-SQL twin of D.winnow_fingerprints + D.winnow_candidate_pairs:
+    token k-gram md5-window hashes -> window-of-w minima (the winnowing
+    selection) -> distinct fingerprints -> capped bucket pairing."""
+    return f"""
+{_TOKS_CTE},
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < {k} THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(t) - {k} + 2),
+                             i -> substring(md5(array_to_string(t[i:i+{k - 1}], ' ')), 1, 8))
+    END AS h
+  FROM toks
+),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(h) = 0 THEN []::VARCHAR[]
+         WHEN len(h) < {w} THEN [list_min(h)]
+         ELSE list_transform(range(1, len(h) - {w} + 2), i -> list_min(h[i:i+{w - 1}]))
+    END AS mins
+  FROM g
+),
+f AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+buckets AS (
+  SELECT fp, list_sort(list(doc_id))[1:{cap}] AS ids, count(*) > {cap} AS trunc
+  FROM f GROUP BY fp HAVING count(*) > 1
+),
+pairs AS (
+  SELECT ids[i] AS id_a, ids[j] AS id_b, trunc
+  FROM buckets,
+       LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i),
+       LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS j)
+  WHERE i < j
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       count(*)::BIGINT AS n_shared, max(trunc) AS from_truncated_bucket
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 """
 
 
@@ -1454,6 +1515,7 @@ FROM sh
 """,
         "q16_simhash": _sql_simhash(),
         "q17_minhash_near_dups": _sql_minhash_near_dups(16, 4, 3, 200, 0.5),
+        "q43_winnow_pairs": _sql_winnow_pairs(4, 4, 200, 2),
         "q18_lsh_ann_top10": _sql_lsh_ann(8, 10),
         "q25_embedding_near_dups": _sql_embedding_near_dups(6, 0.9, 500),
         "q15_ann_cosine_top10": """

@@ -126,7 +126,7 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
         "q31_dedup_clusters", "q32_pii_redaction", "q33_stratified_sample",
         "q34_token_shards", "q35_repetition_features", "q36_contamination",
         "q37_curation_funnel", "q38_knn_join", "q39_unigram_lm",
-        "q40_datacard", "q42_chunking",
+        "q40_datacard", "q42_chunking", "q43_winnow_pairs",
     ]:
         # min-of-2: the first execution of each op pays one-off codegen +
         # footer reads (measured 2-10x on this time-shared host); the

@@ -299,3 +299,83 @@ def test_dedup_clusters_merges_transitive_pairs(spark):
     comp = {r["component"]: r for r in out}
     assert len(comp) == 1 and 1 in comp
     assert comp[1]["doc_ids"] == [1, 2, 3] and comp[1]["keep_doc_id"] == 1
+
+
+def _winnow_reference(tokens: list[str], k: int, w: int) -> set[str]:
+    """Brute-force Python twin of winnow_fingerprints for one doc."""
+    import hashlib
+
+    grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    hashes = [hashlib.md5(g.encode()).hexdigest()[:8] for g in grams]
+    if not hashes:
+        return set()
+    if len(hashes) < w:
+        return {min(hashes)}
+    return {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
+
+
+def test_winnow_fingerprints_match_python_reference(spark, docs):
+    out = {
+        r["doc_id"]: (list(r["fingerprints"]), r["n_grams"])
+        for r in D.winnow_fingerprints(docs, "doc_id", "toks", k=3, w=4).collect()
+    }
+    toks = {r["doc_id"]: list(r["toks"]) for r in docs.collect()}
+    for doc_id, tok in toks.items():
+        want = _winnow_reference(tok, 3, 4)
+        got_fps, got_n = out[doc_id]
+        assert got_fps == sorted(want), doc_id
+        assert got_n == max(len(tok) - 2, 0)
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # Two docs sharing a run of k + w - 1 = 6 tokens inside otherwise
+    # disjoint text MUST share a fingerprint (the winnowing guarantee) —
+    # this is the partial-overlap case MinHash whole-doc similarity misses.
+    run = "one two three four five six"
+    rows = [
+        (1, "aa bb cc dd " + run + " ee ff gg"),
+        (2, "zz yy xx ww vv " + run + " uu tt"),
+        (3, "pp qq rr ss completely disjoint text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "toks",
+        F.filter(F.split(F.lower("text"), r"[^a-z0-9_-]+"), lambda x: x != F.lit("")),
+    )
+    fps = D.winnow_fingerprints(df, "doc_id", "toks", k=3, w=4)
+    got = {r["doc_id"]: set(r["fingerprints"]) for r in fps.collect()}
+    assert got[1] & got[2], "shared 6-token run must share a fingerprint"
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in D.winnow_candidate_pairs(fps, "doc_id", min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_short_and_empty_docs(spark):
+    rows = [(1, "a b"), (2, ""), (3, "x y z w")]  # <k tokens, empty, <w grams
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "toks",
+        F.filter(F.split(F.lower("text"), r"[^a-z0-9_-]+"), lambda x: x != F.lit("")),
+    )
+    got = {
+        r["doc_id"]: (list(r["fingerprints"]), r["n_grams"])
+        for r in D.winnow_fingerprints(df, "doc_id", "toks", k=3, w=4).collect()
+    }
+    assert got[1] == ([], 0) and got[2] == ([], 0)
+    assert got[3][1] == 2 and len(got[3][0]) == 1  # degenerate single window
+
+
+def test_winnow_pair_cap_is_signalled(spark):
+    # 5 identical docs -> every fingerprint bucket holds all 5; cap at 3
+    # keeps the 3 lowest ids and flags the surviving pairs.
+    rows = [(i, "m n o p q r s t u v") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "toks",
+        F.filter(F.split(F.lower("text"), r"[^a-z0-9_-]+"), lambda x: x != F.lit("")),
+    )
+    fps = D.winnow_fingerprints(df, "doc_id", "toks", k=3, w=4)
+    pairs = D.winnow_candidate_pairs(fps, "doc_id", min_shared=1, max_bucket_size=3)
+    got = {(r["id_a"], r["id_b"]): r["from_truncated_bucket"] for r in pairs.collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert all(got.values())

@@ -433,3 +433,115 @@ def dedup_clusters(
         F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
         F.min("doc_id").cast("long").alias("keep_doc_id"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003) -> (id, fingerprints: array<string>, n_grams).
+
+    Local document fingerprinting for code-clone / partial-overlap
+    detection: hash every token k-gram (8-hex-char window of md5, the same
+    SQL-reproducible family as MinHash), slide a window of ``w`` consecutive
+    gram hashes, and select each window's minimum.  The selected set is the
+    fingerprint; the winnowing guarantee is that any shared token run of
+    length >= k + w - 1 contributes at least one shared fingerprint, while
+    only ~2/(w+1) of grams are kept.  Unlike MinHash (whole-doc similarity)
+    this catches PARTIAL overlap — a function copied into an otherwise
+    different file.
+
+    Shapes: pure Catalyst, one narrow codegen scan, no shuffle; the O(n*w)
+    window-min is per-row arithmetic, not data movement.  Short docs:
+    fewer than k tokens -> no grams -> empty fingerprint set; fewer than w
+    grams -> one degenerate window over all grams.
+    """
+    tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    n = F.size(tok)
+    grams = F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, k)),
+        )
+    )
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
+    base = df.select(F.col(id_col), hashes.alias("_h"))
+    nh = F.size("_h")
+    mins = (
+        F.when(nh == 0, F.array().cast("array<string>"))
+        .when(nh < w, F.array(F.array_min("_h")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), nh - w),
+                lambda i: F.array_min(F.slice(F.col("_h"), i + 1, w)),
+            )
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+        nh.cast("long").alias("n_grams"),
+    )
+
+
+def winnow_candidate_pairs(
+    fingerprints: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Partial-overlap candidates from winnowing fingerprints ->
+    (id_a, id_b, n_shared, from_truncated_bucket).
+
+    groupBy(fingerprint) + in-bucket pairing, the same capped-bucket shape
+    as ``lsh_candidate_pairs`` (pair count is quadratic in bucket size; the
+    cap is surfaced per pair, never silent).  ``n_shared`` counts distinct
+    shared fingerprints — a proxy for overlap length, since one shared
+    k+w-1-token run guarantees one shared fingerprint and longer runs
+    produce proportionally more."""
+    ex = fingerprints.select(
+        F.col(id_col), F.explode("fingerprints").alias("fp")
+    )
+    buckets = (
+        ex.groupBy("fp")
+        .agg(
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket_size).alias(
+                "ids"
+            ),
+            (F.count("*") > max_bucket_size).alias("truncated"),
+        )
+        .where(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(
+            "truncated",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ids") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(
+                                F.col("ids")[i].alias("id_a"), b.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col("p.id_a").cast("long").alias("id_a"),
+            F.col("p.id_b").cast("long").alias("id_b"),
+            "truncated",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.max("truncated").alias("from_truncated_bucket"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+    )

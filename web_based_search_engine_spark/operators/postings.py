@@ -272,7 +272,23 @@ def build_docs(
             / F.col("tf_max"),
         )
         .groupBy("doc_id")
-        .agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("doc_norm"))
+        # fold the squares in term_id order instead of F.sum: float addition
+        # is non-associative, so a partition-order-dependent sum makes
+        # doc_norm differ by ULPs across shuffle widths — the build must be
+        # bit-identical regardless of parallelism (resume/upsert byte-
+        # identity and the invariance test depend on it).  Per-doc distinct
+        # terms are bounded by doc vocabulary, so the collect_list is small.
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("term_id", (F.col("_w") * F.col("_w")).alias("w2")))
+            ).alias("_ws")
+        )
+        .select(
+            "doc_id",
+            F.sqrt(
+                F.aggregate("_ws", F.lit(0.0), lambda a, x: a + x["w2"])
+            ).alias("doc_norm"),
+        )
     )
     return (
         corpus_tok.drop("title_terms", "body_terms", "refs", "module")
