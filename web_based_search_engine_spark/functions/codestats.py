@@ -1,0 +1,145 @@
+"""Code-corpus curation operators: line-structure features, secret
+scanning, license detection.
+
+The corpus this engine indexes is source code (BASELINE input_hint:
+``(repo, path, commit, lang, content)``), and a training-data pipeline over
+code needs curation signals the generic text operators don't give:
+line-shape quality (minified/generated-file detection), credential
+scanning before export, and license classification for compliance
+filtering.
+
+Like functions/textstats.py, everything here is pure Catalyst — one narrow
+codegen scan per operator, zero shuffles, exact ANSI-SQL twins for the
+DuckDB oracle.  The detectors are deterministic regex/marker heuristics:
+at 100 TB the point is the dataflow shape (scan -> project, filters and
+column pruning reach the parquet scan) and reproducibility, not
+detector sophistication — each regex is swappable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- secrets
+
+# Pattern set shared verbatim with the SQL oracle (Java regex in Spark,
+# RE2 in DuckDB — every construct below exists in both).
+SECRET_PATTERNS: dict[str, str] = {
+    # AWS access key id: fixed prefix + 16 uppercase base-32 chars
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    # PEM private-key block header
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    # credential assignment: api_key/secret/token/password = "long literal"
+    "cred_assign": r"(?i)(api[_-]?key|secret|token|password)\s*[:=]\s*['\"][^'\"]{8,}['\"]",
+    # bare long hex blob (session tokens, digests pasted as secrets)
+    "hex_blob": r"\b[0-9a-f]{40,}\b",
+}
+
+
+def detect_secrets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc credential scan -> (id, n_<pattern>... , n_secrets,
+    has_secret).  One codegen scan; the counts (not just a flag) let a
+    pipeline rank worst offenders and audit redaction deltas."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat in SECRET_PATTERNS.items()
+    }
+    total = None
+    for col in counts.values():
+        total = col if total is None else total + col
+    return df.select(
+        F.col(id_col),
+        *[col.alias(f"n_{name}") for name, col in counts.items()],
+        total.alias("n_secrets"),
+        (total > 0).alias("has_secret"),
+    )
+
+
+# ---------------------------------------------------------------- license
+
+# (license_id, marker) checked in order; first hit wins.  Markers are
+# matched on lowercased text, so the same walk is reproducible in SQL as a
+# chained CASE.  GPL versions are checked before the generic GPL marker.
+LICENSE_MARKERS: tuple[tuple[str, str], ...] = (
+    ("apache-2.0", "apache license, version 2.0"),
+    ("apache-2.0", "licensed under the apache license"),
+    ("mit", "mit license"),
+    ("mit", "permission is hereby granted, free of charge"),
+    ("gpl-3.0", "gnu general public license as published by the free software foundation, either version 3"),
+    ("gpl-2.0", "gnu general public license as published by the free software foundation; either version 2"),
+    ("gpl", "gnu general public license"),
+    ("bsd-3-clause", "redistribution and use in source and binary forms"),
+    ("mpl-2.0", "mozilla public license"),
+    ("unlicense", "this is free and unencumbered software"),
+)
+
+
+def detect_license(df: DataFrame, id_col: str, text_col: str,
+                   head_chars: int = 4000) -> DataFrame:
+    """License classification from file headers -> (id, license_guess).
+
+    Scans only the first ``head_chars`` characters (license headers lead
+    the file; bounding the scan keeps per-row cost flat on huge blobs) for
+    the marker phrases above, first match wins, 'unknown' otherwise."""
+    head = F.lower(F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, head_chars))
+    guess: Column = F.lit("unknown")
+    for lic, marker in reversed(LICENSE_MARKERS):
+        guess = F.when(head.contains(marker), F.lit(lic)).otherwise(guess)
+    return df.select(F.col(id_col), guess.alias("license_guess"))
+
+
+# ---------------------------------------------------------------- lines
+
+# A trimmed line is a comment if it starts with one of these (covers the
+# hash/C/SQL/Lisp comment families; block-comment bodies starting with '*'
+# follow the javadoc convention).
+COMMENT_PREFIXES: tuple[str, ...] = ("#", "//", "/*", "*", "--", ";")
+
+
+def code_line_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc line-structure features -> (id, n_lines, blank_line_frac,
+    comment_line_frac, indent_frac, max_line_len, mean_line_len).
+
+    The minified/generated-file signals of the usual code-data curation
+    recipes (e.g. max_line_len > 1000 or mean_line_len > 200 => drop;
+    near-zero comment fraction on large files => likely generated).
+    Fractions are over all lines; indent_frac counts lines starting with
+    a space or tab."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    base = df.select(F.col(id_col), lines.alias("_l"))
+    n = F.size("_l")
+    # NB: lambda, not bare F.trim — trim's optional second parameter makes
+    # transform treat it as a (element, index) binary lambda and the index
+    # silently becomes the trim-character set (nothing gets trimmed).
+    trimmed = F.transform(F.col("_l"), lambda x: F.trim(x))
+
+    def frac(cnt: Column) -> Column:
+        return F.round(F.when(n > 0, cnt / n).otherwise(F.lit(0.0)), 6)
+
+    blank = F.size(F.filter(trimmed, lambda t: t == F.lit("")))
+
+    def _is_comment(t: Column) -> Column:
+        cond = t.startswith(COMMENT_PREFIXES[0])
+        for p in COMMENT_PREFIXES[1:]:
+            cond = cond | t.startswith(p)
+        return cond
+
+    comment = F.size(F.filter(trimmed, _is_comment))
+    indent = F.size(
+        F.filter(F.col("_l"), lambda l: l.startswith(" ") | l.startswith("\t"))
+    )
+    lens = F.transform(F.col("_l"), F.length)
+    total_len = F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+    return base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_lines"),
+        frac(blank).alias("blank_line_frac"),
+        frac(comment).alias("comment_line_frac"),
+        frac(indent).alias("indent_frac"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("long").alias("max_line_len"),
+        F.round(
+            F.when(n > 0, total_len / n).otherwise(F.lit(0.0)), 6
+        ).alias("mean_line_len"),
+    )
