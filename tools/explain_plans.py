@@ -163,6 +163,23 @@ def main() -> None:
          "sequence of window starts + posexplode, all inside one codegen "
          "span — ZERO exchanges; the explode's fan-out (~n/stride) is the "
          "output's inherent size, produced map-side."),
+        ("q43_winnow_pairs", "Winnowing (MOSS) partial-overlap candidates: "
+         "the fingerprint selection (k-gram md5 hashes -> window minima) "
+         "is per-row arithmetic inside one codegen scan; the only "
+         "data-sized exchange is groupBy(fingerprint), whose bucket sizes "
+         "are bounded by clone-cluster sizes and hard-capped (cap "
+         "surfaced per pair) — never an all-pairs join."),
+        ("q44_code_features", "Code line-structure features: split + "
+         "higher-order filters/aggregates over the line array in one "
+         "narrow codegen projection — zero exchanges (the q35 dataflow "
+         "class; an explode-per-line formulation would shuffle "
+         "line-granularity rows)."),
+        ("q45_secret_scan", "Secret scan: four regexp_count expressions in "
+         "a single WholeStageCodegen projection — zero exchanges; counts "
+         "(not flags) so redaction deltas are auditable."),
+        ("q46_license_scan", "License detection: lower(substring(head)) + "
+         "chained CASE contains in one codegen projection — the substring "
+         "bounds per-row cost on multi-MB blobs; zero exchanges."),
     ]:
         sections.append((f"Driver query: {name}", blurb, plan_of(qs[name](spark, SF_DIR))))
 
