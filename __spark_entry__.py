@@ -703,6 +703,26 @@ def _q_license_scan(spark, sf_dir):
     return detect_license(d, "doc_id", "text")
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-scoped semantic dedup: IVF cells as the
+    candidate generator, exact in-cell cosine, lowest-id-wins keep rule.
+    The test embeddings have no organic near-dups (max pairwise cosine
+    ~0.51), so exact duplicates are planted deterministically (every
+    vec_id % 25 == 0 re-inserted under id+100000) on both sides; the
+    oracle replays the full codebook over the same augmented set."""
+    from web_based_search_engine_spark.operators.similarity import semantic_dedup
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(planted)
+    return semantic_dedup(
+        aug, "vec_id", "embedding", n_centroids=16, threshold=0.95,
+        max_cell_size=1000,
+    )
+
+
 def _q_winnow_pairs(spark, sf_dir):
     """MOSS-style winnowing (token 4-grams, window 4): local fingerprints
     -> capped fingerprint-bucket pairing -> partial-overlap candidates
@@ -770,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_code_features": _q_code_features,
         "q45_secret_scan": _q_secret_scan,
         "q46_license_scan": _q_license_scan,
+        "q47_semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -1157,16 +1178,15 @@ FROM s WHERE dot / (nx * ny) >= {threshold}
 """
 
 
-def _sql_ivf_ann(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
-    """ANSI-SQL twin of SIM.ivf_ann_topk with refine_iters=1: replay the
-    md5('ivf-seed:'||id)-ordered seed sample, one Lloyd pass (cosine-argmax
-    assignment with min-cid tiebreak, per-(cell,dim) means, empty cells
-    keep their seed), probe the n_probe best cells by query-centroid
-    cosine, then exact in-cell cosine top-k — the same computation the
-    engine runs, so the codebook (not just the final ranking) is checked."""
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-seeds0 AS (SELECT vec_id, v FROM e
+def _sql_ivf_codebook(n_centroids: int) -> str:
+    """Shared CTE chunk replaying SIM.ivf_train_centroids (refine_iters=1)
+    against a prior CTE ``e(vec_id, v)``: md5('ivf-seed:'||id)-ordered seed
+    sample, one Lloyd pass (cosine-argmax assignment with min-cid tiebreak,
+    per-(cell,dim) means, empty cells keep their seed) -> ``cent(cid, v)``
+    plus the final assignment ``a2(vec_id, v, cell)``.  Used by the q24 and
+    q47 oracles so the codebook itself (not just each query's output) is
+    checked twice."""
+    return f"""seeds0 AS (SELECT vec_id, v FROM e
            ORDER BY md5('ivf-seed:' || vec_id) LIMIT {n_centroids}),
 seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM seeds0),
 a1 AS (
@@ -1188,14 +1208,6 @@ mx AS (
 refined AS (SELECT cell AS cid, list(m ORDER BY dim) AS v FROM mx GROUP BY cell),
 cent AS (SELECT s.cid, coalesce(r.v, s.v) AS v
          FROM seeds s LEFT JOIN refined r ON s.cid = r.cid),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-probe AS (
-  SELECT c.cid FROM cent c, q
-  ORDER BY list_dot_product(c.v, q.qv)
-           / nullif(sqrt(list_dot_product(c.v, c.v))
-                    * sqrt(list_dot_product(q.qv, q.qv)), 0) DESC, c.cid
-  LIMIT {n_probe}
-),
 a2 AS (
   SELECT vec_id, v, cid AS cell FROM (
     SELECT e.vec_id, e.v, c.cid,
@@ -1206,6 +1218,25 @@ a2 AS (
                       c.cid) AS rn
     FROM e CROSS JOIN cent c)
   WHERE rn = 1
+)"""
+
+
+def _sql_ivf_ann(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """ANSI-SQL twin of SIM.ivf_ann_topk with refine_iters=1: replay the
+    codebook (see _sql_ivf_codebook), probe the n_probe best cells by
+    query-centroid cosine, then exact in-cell cosine top-k — the same
+    computation the engine runs, so the codebook (not just the final
+    ranking) is checked."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_sql_ivf_codebook(n_centroids)},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid FROM cent c, q
+  ORDER BY list_dot_product(c.v, q.qv)
+           / nullif(sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.qv, q.qv)), 0) DESC, c.cid
+  LIMIT {n_probe}
 ),
 cand AS (SELECT vec_id, v FROM a2 WHERE cell IN (SELECT cid FROM probe)),
 s AS (
@@ -1216,6 +1247,50 @@ s AS (
   FROM cand, q
 )
 SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+def _sql_semantic_dedup(n_centroids: int = 16, thr: float = 0.95,
+                        cap: int = 1000) -> str:
+    """ANSI-SQL twin of SIM.semantic_dedup over the augmented embeddings
+    (planted exact dups at vec_id % 25 == 0 -> id + 100000): replays the
+    codebook + assignment, then capped in-cell pairing, exact cosine, and
+    the lowest-id-wins verdict."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 25 = 0
+),
+{_sql_ivf_codebook(n_centroids)},
+flags AS (SELECT cell, count(*) > {cap} AS tr FROM a2 GROUP BY cell),
+buckets AS (
+  SELECT cell, list_sort(list(vec_id))[1:{cap}] AS ids
+  FROM a2 GROUP BY cell HAVING count(*) > 1
+),
+pairs AS (
+  SELECT ids[i] AS id_a, ids[j] AS id_b
+  FROM buckets,
+       LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i),
+       LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS j)
+  WHERE i < j
+),
+pv AS (
+  SELECT id_a, id_b,
+         list_dot_product(ea.v, eb.v)
+           / nullif(sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v)), 0) AS c
+  FROM pairs JOIN e ea ON pairs.id_a = ea.vec_id
+             JOIN e eb ON pairs.id_b = eb.vec_id
+),
+d AS (
+  SELECT id_b AS vec_id, min(id_a)::BIGINT AS dup_of, round(max(c), 6) AS max_sim
+  FROM pv WHERE c >= {thr} GROUP BY id_b
+)
+SELECT a2.vec_id, a2.cell::INTEGER AS cell, d.dup_of IS NULL AS keep,
+       d.dup_of, d.max_sim, coalesce(f.tr, false) AS in_truncated_cell
+FROM a2 LEFT JOIN d ON a2.vec_id = d.vec_id
+        LEFT JOIN flags f ON a2.cell = f.cell
 """
 
 
@@ -1686,6 +1761,7 @@ FROM sh
         "q44_code_features": _sql_code_line_features(_AUG_CODE_SQL),
         "q45_secret_scan": _sql_secret_scan(_AUG_SECRET_SQL),
         "q46_license_scan": _sql_license_scan(_AUG_LICENSE_SQL),
+        "q47_semantic_dedup": _sql_semantic_dedup(16, 0.95, 1000),
         "q18_lsh_ann_top10": _sql_lsh_ann(8, 10),
         "q25_embedding_near_dups": _sql_embedding_near_dups(6, 0.9, 500),
         "q15_ann_cosine_top10": """

@@ -379,3 +379,39 @@ def test_winnow_pair_cap_is_signalled(spark):
     got = {(r["id_a"], r["id_b"]): r["from_truncated_bucket"] for r in pairs.collect()}
     assert set(got) == {(0, 1), (0, 2), (1, 2)}
     assert all(got.values())
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    # 3 exact-dup groups of a base vector (ids 1,2,3), an isolated vector
+    # (id 9), and a near-but-not-dup (id 5, cosine < threshold to all).
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, base), (2, base), (3, base),
+        (5, [0.7, 0.7, 0.0, 0.0]),
+        (9, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r.asDict() for r in SIM.semantic_dedup(
+        df, "vec_id", "embedding", n_centroids=2, threshold=0.95
+    ).collect()}
+    assert out[1]["keep"] and out[1]["dup_of"] is None
+    assert not out[2]["keep"] and out[2]["dup_of"] == 1
+    assert not out[3]["keep"] and out[3]["dup_of"] == 1
+    assert out[3]["max_sim"] == pytest.approx(1.0)
+    assert out[5]["keep"] and out[9]["keep"]
+    assert not any(r["in_truncated_cell"] for r in out.values())
+
+
+def test_semantic_dedup_cell_cap_is_signalled(spark):
+    # 4 identical vectors with max_cell_size=2: ids beyond the cap are not
+    # paired (3 and 4 survive despite being dups) but the whole cell is
+    # flagged so the recall loss is visible.
+    rows = [(i, [1.0, 0.0]) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r.asDict() for r in SIM.semantic_dedup(
+        df, "vec_id", "embedding", n_centroids=1, threshold=0.95,
+        max_cell_size=2,
+    ).collect()}
+    assert out[1]["keep"] and not out[2]["keep"]
+    assert out[3]["keep"] and out[4]["keep"]  # beyond cap: unpaired
+    assert all(r["in_truncated_cell"] for r in out.values())

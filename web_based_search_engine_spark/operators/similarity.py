@@ -371,3 +371,93 @@ def knn_join(
         .where(F.col("rank") <= kk)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    max_cell_size: int = 1000,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al., 2023)
+    -> per-vector verdict (id, cell, keep, dup_of, max_sim,
+    in_truncated_cell).
+
+    Pipeline: deterministic IVF codebook -> nearest-centroid cell per
+    vector -> EXACT pairwise cosine only WITHIN a cell (capped) -> a
+    vector is dropped iff a lower-id cell-mate has cosine >= threshold
+    (``dup_of`` = the smallest such id, ``max_sim`` = the best such
+    cosine; both null for kept vectors).
+
+    Scale shape: the cluster assignment replaces LSH banding as the
+    candidate generator — pair count is quadratic only within a cell, and
+    cells are the stored ANN index's partition column, so at 10^12 vectors
+    the pairing is an embarrassingly-parallel per-partition job.  The
+    ``max_cell_size`` cap bounds a degenerate hot cell and is surfaced per
+    row (``in_truncated_cell``), never silent.  The keep rule is
+    deterministic (lowest id wins), so the verdict is reproducible across
+    partitionings and in the SQL oracle."""
+    if centroids is None:
+        centroids = ivf_train_centroids(embeddings, id_col, vec_col, n_centroids)
+    cells = ivf_assign(embeddings, centroids, id_col, vec_col)
+    flags = cells.groupBy("cell").agg(
+        (F.count("*") > max_cell_size).alias("in_truncated_cell")
+    )
+    buckets = (
+        cells.groupBy("cell")
+        .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_cell_size).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda b: F.struct(F.col("ids")[i].alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.id_a").cast("long").alias("id_a"),
+        F.col("p.id_b").cast("long").alias("id_b"),
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+    )
+    dup = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot / (l2_norm(F.col("_va")) * l2_norm(F.col("_vb")))).alias("_cos"),
+        )
+        .where(F.col("_cos") >= threshold)
+        .groupBy(F.col("id_b").alias(id_col))
+        .agg(
+            F.min("id_a").cast("long").alias("dup_of"),
+            F.round(F.max("_cos"), 6).alias("max_sim"),
+        )
+    )
+    return (
+        cells.join(dup, id_col, "left")
+        .join(flags, "cell", "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            "max_sim",
+            F.coalesce("in_truncated_cell", F.lit(False)).alias("in_truncated_cell"),
+        )
+    )
