@@ -180,6 +180,13 @@ def main() -> None:
         ("q46_license_scan", "License detection: lower(substring(head)) + "
          "chained CASE contains in one codegen projection — the substring "
          "bounds per-row cost on multi-MB blobs; zero exchanges."),
+        ("q47_semantic_dedup", "Semantic dedup (SemDeDup): the nearest-"
+         "centroid assignment is a pure Catalyst argmax over codebook "
+         "literals (no join for the candidate generator); exact cosine "
+         "runs only on in-cell pairs (capped groupBy(cell)), and the "
+         "verdict join is keyed on vec_id — at 10^12 vectors the cell is "
+         "the ANN index's partition column, so pairing is per-partition "
+         "work."),
     ]:
         sections.append((f"Driver query: {name}", blurb, plan_of(qs[name](spark, SF_DIR))))
 
