@@ -415,3 +415,26 @@ def test_semantic_dedup_cell_cap_is_signalled(spark):
     assert out[1]["keep"] and not out[2]["keep"]
     assert out[3]["keep"] and out[4]["keep"]  # beyond cap: unpaired
     assert all(r["in_truncated_cell"] for r in out.values())
+
+
+def test_winnow_plan_does_not_duplicate_pipeline(spark):
+    # Regression guard for the let-binding fix: without it, Catalyst
+    # inlines the tokenize+md5 pipeline into every consumer and the pair
+    # stage's Generate re-evaluates it per output row (measured 825 s at
+    # sf0.1).  The duplication is visible statically: the md5 expression
+    # appeared dozens of times across the plan; let-bound it appears ~2x
+    # per plan section (fingerprints + the explain's reprint).
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    toks = df.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"[^a-z0-9_-]+"), lambda x: x != F.lit("")).alias("t"),
+    )
+    fps = D.winnow_fingerprints(toks, "doc_id", "t", k=4, w=4)
+    pairs = D.winnow_candidate_pairs(fps, "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("extended")
+    assert buf.getvalue().count("md5") <= 16
