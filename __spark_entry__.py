@@ -703,6 +703,37 @@ def _q_license_scan(spark, sf_dir):
     return detect_license(d, "doc_id", "text")
 
 
+PROX_TERMS = ["table", "row", "scan"]
+PROX_WINDOW = 12
+
+
+def _q_proximity(spark, sf_dir):
+    """Proximity retrieval (beyond-reference): docs whose body contains all
+    of PROX_TERMS within a PROX_WINDOW-token span, with the exact minimal
+    cover window as the ranking signal — the operators/phrase.py
+    ``min_cover_expr`` fold over the raw (unstemmed) tokens twin."""
+    from web_based_search_engine_spark.operators import phrase as PH
+
+    tv = A.tokens_view(_docs(spark, sf_dir), "doc_id", "text", RAW)
+    per = None
+    for i, t in enumerate(PROX_TERMS):
+        d = (
+            tv.where(F.col("term") == t)
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.col("pos").cast("int")).alias(f"_p{i}"))
+        )
+        per = d if per is None else per.join(d, "doc_id")
+    merged = F.flatten(
+        F.array(*[PH.tag_positions(F.col(f"_p{i}"), i) for i in range(len(PROX_TERMS))])
+    )
+    out = per.select(
+        "doc_id", PH.min_cover_expr(merged, len(PROX_TERMS)).alias("min_window")
+    )
+    return out.where(F.col("min_window") <= PROX_WINDOW).select(
+        "doc_id", F.col("min_window").cast("long").alias("min_window")
+    )
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style cluster-scoped semantic dedup: IVF cells as the
     candidate generator, exact in-cell cosine, lowest-id-wins keep rule.
@@ -791,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_secret_scan": _q_secret_scan,
         "q46_license_scan": _q_license_scan,
         "q47_semantic_dedup": _q_semantic_dedup,
+        "q48_proximity": _q_proximity,
     }
 
 
@@ -1247,6 +1279,31 @@ s AS (
   FROM cand, q
 )
 SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+def _sql_proximity(terms: list[str], window: int) -> str:
+    """ANSI-SQL twin of PH.min_cover_expr over the raw tokens: per-term
+    running maxima (latest occurrence <= current position) via k window
+    functions, span = pos - least(latest...) + 1, min per doc."""
+    lasts = ",\n        ".join(
+        f"max(CASE WHEN term = '{t}' THEN pos END) OVER w AS l{i}"
+        for i, t in enumerate(terms)
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    least = ", ".join(f"l{i}" for i in range(len(terms)))
+    notnull = " AND ".join(f"l{i} IS NOT NULL" for i in range(len(terms)))
+    return f"""
+{_TOKS_CTE},
+u AS ({_UNNEST}),
+q AS (SELECT doc_id, pos,
+        {lasts}
+      FROM u WHERE term IN ({in_list})
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+s AS (SELECT doc_id, pos - least({least}) + 1 AS span FROM q
+      WHERE {notnull})
+SELECT doc_id, min(span)::BIGINT AS min_window
+FROM s GROUP BY doc_id HAVING min(span) <= {window}
 """
 
 
@@ -1762,6 +1819,7 @@ FROM sh
         "q45_secret_scan": _sql_secret_scan(_AUG_SECRET_SQL),
         "q46_license_scan": _sql_license_scan(_AUG_LICENSE_SQL),
         "q47_semantic_dedup": _sql_semantic_dedup(16, 0.95, 1000),
+        "q48_proximity": _sql_proximity(PROX_TERMS, PROX_WINDOW),
         "q18_lsh_ann_top10": _sql_lsh_ann(8, 10),
         "q25_embedding_near_dups": _sql_embedding_near_dups(6, 0.9, 500),
         "q15_ann_cosine_top10": """

@@ -128,7 +128,7 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
         "q37_curation_funnel", "q38_knn_join", "q39_unigram_lm",
         "q40_datacard", "q42_chunking", "q43_winnow_pairs",
         "q44_code_features", "q45_secret_scan", "q46_license_scan",
-        "q47_semantic_dedup",
+        "q47_semantic_dedup", "q48_proximity",
     ]:
         # min-of-2: the first execution of each op pays one-off codegen +
         # footer reads (measured 2-10x on this time-shared host); the

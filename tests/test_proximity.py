@@ -1,0 +1,95 @@
+"""Proximity retrieval (minimal cover window) tests: brute-force
+reference over random occurrence sets + end-to-end over a built index."""
+
+from __future__ import annotations
+
+
+def _min_cover_reference(occ: list[tuple[int, int]], k: int) -> int:
+    """Brute-force minimal cover span over (pos, tid) occurrences."""
+    best = 1 << 30
+    occ = sorted(occ)
+    for i in range(len(occ)):
+        seen = {}
+        for j in range(i, len(occ)):
+            seen[occ[j][1]] = True
+            if len(seen) == k:
+                best = min(best, occ[j][0] - occ[i][0] + 1)
+                break
+    return best
+
+
+def test_proximity_windows_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from web_based_search_engine_spark.operators import phrase as PH
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = []
+    for doc in range(12):
+        occ = [(p, rng.randrange(3)) for p in rng.sample(range(40), 12)]
+        rows.append((doc, occ))
+    k = 3
+    df = spark.createDataFrame(
+        [(d, [{"pos": p, "tid": t} for p, t in occ]) for d, occ in rows],
+        "doc_id long, merged array<struct<pos:int,tid:int>>",
+    )
+    got = {
+        r["doc_id"]: r["mw"]
+        for r in df.select(
+            "doc_id", PH.min_cover_expr(F.col("merged"), k).alias("mw")
+        ).collect()
+    }
+    for d, occ in rows:
+        tids = {t for _, t in occ}
+        want = _min_cover_reference(occ, k) if len(tids) == k else (1 << 30)
+        assert got[d] == want, (d, occ)
+
+
+def test_proximity_windows_end_to_end(spark):
+    from web_based_search_engine_spark import config, fixtures
+    from web_based_search_engine_spark.operators import phrase as PH
+    from web_based_search_engine_spark.operators import postings as P
+
+    # doc 1: terms 6 tokens apart in body ('qq' filler — NOT a stopword,
+    # unlike single letters); doc 2: adjacent; doc 3: only one term
+    rows = [
+        (1, "r/a", "p1", "c", "t", "alpha qq qq qq qq qq beta"),
+        (2, "r/a", "p2", "c", "t", "alpha beta"),
+        (3, "r/a", "p3", "c", "t", "alpha only here"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, repo string, path string, commit string, lang string, content string"
+    ).drop("doc_id")
+    frames = P.build_index_frames(P.prepare_corpus(corpus), config.IndexConfig(num_term_buckets=2))
+    out = {
+        r["doc_id"]: r["min_window"]
+        for r in PH.proximity_windows(
+            frames.postings, frames.vocab, ["alpha", "beta"], window=10
+        ).collect()
+    }
+    # doc ids are dense over (repo,path,commit) order: p1->1, p2->2, p3->3
+    assert out[1] == 7 and out[2] == 2
+    assert 3 not in out
+    tight = PH.proximity_windows(frames.postings, frames.vocab, ["alpha", "beta"], window=3)
+    assert {r["doc_id"] for r in tight.collect()} == {2}
+    # unseen term -> empty; duplicate query terms behave as the set
+    assert PH.proximity_windows(frames.postings, frames.vocab, ["alpha", "zzz"], 10).count() == 0
+    dup = PH.proximity_windows(frames.postings, frames.vocab, ["alpha", "alpha", "beta"], 10)
+    assert {r["doc_id"] for r in dup.collect()} == {1, 2}
+    # blocks mode: identical windows decoded from the compressed index
+    from pyspark.sql import functions as F
+    from web_based_search_engine_spark.operators import blocks as B
+
+    doc_lens = frames.docs.select(
+        "doc_id", (F.col("title_len") + F.col("body_len")).alias("len_d")
+    )
+    blk = B.encode_blocks(frames.postings, doc_lens, config.IndexConfig(num_term_buckets=2))
+    via_blocks = {
+        r["doc_id"]: r["min_window"]
+        for r in PH.proximity_windows(
+            None, frames.vocab, ["alpha", "beta"], window=10, blocks=blk
+        ).collect()
+    }
+    assert via_blocks == out

@@ -101,3 +101,112 @@ def phrase_doc_ids(
             .where((F.size("title_pos") > 0) | (F.size("body_pos") > 0))
         )
     return state.select("doc_id")
+
+
+_BIG_SPAN = 1 << 30
+
+
+def tag_positions(pos_col, tid: int):
+    """array<int> positions -> array<struct(pos,tid)> tagged with the query
+    term's index, for the merged minimal-cover scan."""
+    return F.transform(
+        F.coalesce(pos_col, F.array().cast("array<int>")),
+        lambda p: F.struct(p.cast("int").alias("pos"), F.lit(tid).alias("tid")),
+    )
+
+
+def min_cover_expr(merged_col, k: int):
+    """Minimal cover window over a doc's merged (pos, tid) occurrence array
+    -> int span (or 2^30 when some term never occurs).
+
+    The classic minimal-window scan: walk occurrences in position order,
+    keep the latest position of each of the k terms, and whenever all k
+    have been seen take span = current pos - min(last seen) + 1.  One
+    Catalyst ``aggregate`` fold per row — exact, no UDF, state is a fixed
+    k+1-field struct (queries are short, so k is a small literal)."""
+    acc0 = F.struct(
+        *[F.lit(-1).alias(f"l{i}") for i in range(k)],
+        F.lit(_BIG_SPAN).alias("best"),
+    )
+
+    def step(acc, x):
+        lasts = [
+            F.when(x["tid"] == i, x["pos"]).otherwise(acc[f"l{i}"])
+            for i in range(k)
+        ]
+        mn = F.least(*lasts) if k > 1 else lasts[0]
+        span = x["pos"] - mn + 1
+        best = F.when((mn >= 0) & (span < acc["best"]), span).otherwise(acc["best"])
+        return F.struct(
+            *[l.alias(f"l{i}") for i, l in enumerate(lasts)], best.alias("best")
+        )
+
+    return F.aggregate(F.array_sort(merged_col), acc0, step, lambda a: a["best"])
+
+
+def proximity_windows(
+    postings: DataFrame | None,
+    vocab: DataFrame,
+    terms: list[str],
+    window: int,
+    term_rows: list[dict] | None = None,
+    blocks: DataFrame | None = None,
+) -> DataFrame:
+    """Proximity retrieval: docs where ALL ``terms`` co-occur within a
+    ``window``-token span in ONE field -> (doc_id, min_window), smallest
+    span first usable as a ranking signal.
+
+    ``min_window`` = the exact minimal token span (last - first + 1)
+    covering >= 1 occurrence of every distinct query term, minimized over
+    the title and body tracks separately (within-field like phrase,
+    Appendix C-W5).  Beyond-reference operator: the reference offers only
+    adjacency (phrase); proximity is the standard relaxation ("terms near
+    each other") search engines add next.
+
+    Shape: k partition-pruned per-term posting scans -> k-way doc_id
+    equi-join (docs missing any term drop out) -> per-doc merged position
+    scan as ONE ``aggregate`` expression — no explode, no extra shuffle
+    beyond the joins.  Works off the compressed block index when
+    ``blocks`` is given (same single-positional-structure story as
+    phrase)."""
+    src = blocks if blocks is not None else postings
+    spark = src.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, min_window long")
+    uniq = list(dict.fromkeys(terms))
+    if not uniq:
+        return empty
+    rows = term_rows if term_rows is not None else lookup_terms(vocab, uniq)
+    by_term = {r["term"]: r for r in rows}
+    if any(t not in by_term for t in uniq):
+        return empty
+
+    def term_df(term: str, i: int) -> DataFrame:
+        if blocks is not None:
+            d = _term_postings_from_blocks(blocks, by_term[term])
+        else:
+            d = _term_postings(postings, by_term[term])
+        return d.select(
+            "doc_id",
+            F.col("title_pos").alias(f"_t{i}"),
+            F.col("body_pos").alias(f"_b{i}"),
+        )
+
+    state = term_df(uniq[0], 0)
+    for i, term in enumerate(uniq[1:], start=1):
+        state = state.join(term_df(term, i), "doc_id")
+    k = len(uniq)
+    title_merged = F.flatten(
+        F.array(*[tag_positions(F.col(f"_t{i}"), i) for i in range(k)])
+    )
+    body_merged = F.flatten(
+        F.array(*[tag_positions(F.col(f"_b{i}"), i) for i in range(k)])
+    )
+    out = state.select(
+        "doc_id",
+        F.least(
+            min_cover_expr(title_merged, k), min_cover_expr(body_merged, k)
+        ).alias("min_window"),
+    )
+    return out.where(F.col("min_window") <= window).select(
+        "doc_id", F.col("min_window").cast("long").alias("min_window")
+    )
