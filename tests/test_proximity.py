@@ -93,3 +93,38 @@ def test_proximity_windows_end_to_end(spark):
         ).collect()
     }
     assert via_blocks == out
+
+
+def test_near_search_is_a_score_preserving_filter(spark, tmp_path):
+    from web_based_search_engine_spark import config, fixtures
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.plans.query import QueryEngine
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+
+    storage = ParquetIndexStorage(str(tmp_path / "idx"))
+    corpus = fixtures.corpus_df(spark, 120)
+    IndexBuilder(spark, storage, config.IndexConfig(num_term_buckets=2)).build(corpus)
+    qe = QueryEngine(spark, storage, mode="blocks")
+    full = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in qe.search("foo_bar hello-world", k=1000, assemble=False).collect()
+    }
+    wide = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in qe.near_search(["foo_bar", "hello-world"], 40, k=1000, assemble=False).collect()
+    }
+    tight = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in qe.near_search(["foo_bar", "hello-world"], 3, k=1000, assemble=False).collect()
+    }
+    # proximity filters, never rescores; tightening shrinks monotonically
+    assert set(wide) <= set(full) and set(tight) <= set(wide)
+    assert all(full[d] == s for d, s in wide.items())
+    assert len(wide) >= 1  # fixture corpus has co-occurring terms
+    # columnar mode agrees exactly
+    qc = QueryEngine(spark, storage, mode="columnar")
+    wide_c = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in qc.near_search(["foo_bar", "hello-world"], 40, k=1000, assemble=False).collect()
+    }
+    assert wide_c == wide

@@ -14,6 +14,7 @@ Usage (also via spark-submit --py-files engine.zip):
     python -m web_based_search_engine_spark.cli update --corpus PATH --index DIR
     python -m web_based_search_engine_spark.cli search --index DIR "free text query"
     python -m web_based_search_engine_spark.cli phrase --index DIR w1 w2 ...
+    python -m web_based_search_engine_spark.cli near   --index DIR --window 8 w1 w2 ...
     python -m web_based_search_engine_spark.cli print  --index DIR [--table docs]
     python -m web_based_search_engine_spark.cli server --index DIR --port 8321
 """
@@ -68,6 +69,14 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("-k", type=int, default=50)
     pp.add_argument("words", nargs="+")
 
+    pn = sub.add_parser(
+        "near", help="proximity query: words scored, all within --window tokens"
+    )
+    pn.add_argument("--index", required=True)
+    pn.add_argument("--window", type=int, default=8)
+    pn.add_argument("-k", type=int, default=50)
+    pn.add_argument("words", nargs="+")
+
     pr = sub.add_parser("print", help="dump index tables (ordered)")
     pr.add_argument("--index", required=True)
     pr.add_argument("--table", default=None)
@@ -119,6 +128,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "phrase":
         qe = QueryEngine(spark, ParquetIndexStorage(args.index))
         _print_results(qe.phrase_search(args.words, k=args.k).collect())
+    elif args.cmd == "near":
+        qe = QueryEngine(spark, ParquetIndexStorage(args.index))
+        _print_results(qe.near_search(args.words, args.window, k=args.k).collect())
     elif args.cmd == "print":
         storage = ParquetIndexStorage(args.index)
         names = [args.table] if args.table else sorted(storage.manifest()["tables"])

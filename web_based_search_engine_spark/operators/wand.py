@@ -102,6 +102,7 @@ def wand_top_k(
     term_rows: list[dict] | None = None,
     bounds_cache: dict[int, tuple[float, int]] | None = None,
     persist_registry: list[DataFrame] | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a disjunctive BM25 query over the block
     index.  ``prune=False`` gives the exhaustive scorer over the same
@@ -117,8 +118,12 @@ def wand_top_k(
     first unpersists (and removes) whatever is in it, then appends any
     frame it persists — a serving loop passing its engine-lifetime list
     holds AT MOST ONE query's pruned block set in the block-manager
-    instead of leaking one per query to LRU eviction."""
+    instead of leaking one per query to LRU eviction.
+    ``k``: result size (defaults to cfg.top_k) — both the pruning
+    threshold (k-th seed score) and the final cut honor it, so callers
+    requesting k > cfg.top_k are not silently capped."""
     cfg = cfg or ScoringConfig()
+    k = k or cfg.top_k
     assert cfg.scorer == "bm25", "WAND upper bounds require the additive BM25 scorer"
     if persist_registry:
         # previous query's pruned block set: by now either materialized
@@ -157,7 +162,7 @@ def wand_top_k(
             _score_decoded(
                 B.decode_blocks(cand), docs, df_map, n_docs, avg_doc_len, cfg, candidates
             ),
-            cfg.top_k,
+            k,
         )
 
     idf_by_term = {r["term_id"]: _idf(n_docs, r["df"]) for r in qt}
@@ -212,9 +217,9 @@ def wand_top_k(
         cfg, candidates,
     )
     kth = (
-        seed_scores.orderBy(F.desc("score")).limit(cfg.top_k).collect()
+        seed_scores.orderBy(F.desc("score")).limit(k).collect()
     )
-    tau = kth[-1]["score"] if len(kth) >= cfg.top_k else 0.0
+    tau = kth[-1]["score"] if len(kth) >= k else 0.0
 
     # lossless block pruning against tau
     other_max = F.create_map(
@@ -224,4 +229,4 @@ def wand_top_k(
     scored = _score_decoded(
         B.decode_blocks(keep), docs, df_map, n_docs, avg_doc_len, cfg, candidates
     )
-    return top_k(scored, cfg.top_k)
+    return top_k(scored, k)

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..config import MAX_KEYWORD_COUNT, AnalysisConfig, ScoringConfig
 from ..functions.analysis import analyze_text_py
 from ..operators import wand as W
-from ..operators.phrase import phrase_doc_ids
+from ..operators.phrase import phrase_doc_ids, proximity_windows
 from ..operators.scoring import score_query_terms, top_k
 from ..sources.catalog import ParquetIndexStorage
 
@@ -190,16 +190,30 @@ class QueryEngine:
             list(dict.fromkeys(analyzed)), analyzed, k=k, assemble=assemble
         )
 
+    def near_search(self, words: list[str], window: int, k: int | None = None,
+                    assemble: bool = True) -> DataFrame:
+        """Proximity mode (beyond-reference, same shape as EP3 phrase mode):
+        score by the words disjunctively, then require all of them within a
+        ``window``-token span in one field (operators/phrase.py
+        proximity_windows) — like phrase, a filter that never changes
+        scores."""
+        analyzed = [t for w in words for t in analyze_text_py(w, self.analysis)]
+        return self.search_terms(
+            list(dict.fromkeys(analyzed)), k=k, assemble=assemble, near=window
+        )
+
     def search_terms(
         self,
         terms: list[str],
         phrase: list[str] | None = None,
         k: int | None = None,
         assemble: bool = True,
+        near: int | None = None,
     ) -> DataFrame:
         k = k or self.scoring.top_k
-        # phrase filters BEFORE the top-k cut and never changes scores
-        # (Indexer.java:270-276); candidates restrict WAND's ranking set
+        # phrase/proximity filter BEFORE the top-k cut and never change
+        # scores (Indexer.java:270-276); candidates restrict WAND's ranking
+        # set.  Both filters compose (intersection) when given together.
         candidates = None
         if phrase:
             candidates = phrase_doc_ids(
@@ -209,16 +223,31 @@ class QueryEngine:
                 term_rows=self._lookup_cached(phrase),
                 blocks=self.blocks if self._blocks_serving else None,
             )
-        scored = self._score(terms, candidates)
+        if near:
+            prox = proximity_windows(
+                None if self._blocks_serving else self.postings,
+                self.vocab,
+                terms,
+                near,
+                term_rows=self._lookup_cached(terms),
+                blocks=self.blocks if self._blocks_serving else None,
+            ).select("doc_id")
+            candidates = (
+                prox if candidates is None
+                else candidates.join(prox, "doc_id", "left_semi")
+            )
+        scored = self._score(terms, candidates, k)
         result = top_k(scored, k)
         return self._assemble(result) if assemble else result
 
     # ------------------------------------------------------------ internals
-    def _score(self, terms: list[str], candidates: DataFrame | None = None) -> DataFrame:
+    def _score(self, terms: list[str], candidates: DataFrame | None = None,
+               k: int | None = None) -> DataFrame:
         term_rows = self._lookup_cached(terms)
         if self._blocks_serving:
-            # wand_top_k prunes and limits internally; re-limit happens in
-            # search_terms (idempotent on an already-top-k frame)
+            # wand_top_k prunes and limits internally (honoring k — a
+            # k > cfg.top_k request must not be capped by the config
+            # default); re-limit happens in search_terms (idempotent)
             return W.wand_top_k(
                 self.blocks, self.docs, self.vocab, terms,
                 self.n_docs, self.avg_doc_len, self.scoring,
@@ -226,6 +255,7 @@ class QueryEngine:
                 term_rows=term_rows,
                 bounds_cache=self._bounds_cache,
                 persist_registry=self._persist_registry,
+                k=k,
             )
         scored = score_query_terms(
             self.postings, self.docs, self.vocab, terms,
