@@ -180,6 +180,13 @@ def main() -> None:
         ("q46_license_scan", "License detection: lower(substring(head)) + "
          "chained CASE contains in one codegen projection — the substring "
          "bounds per-row cost on multi-MB blobs; zero exchanges."),
+        ("q48_proximity", "Proximity retrieval: k per-term position "
+         "aggregations join on doc_id (docs missing any term drop out "
+         "before any window work), then the exact minimal-cover scan is "
+         "ONE aggregate expression over the merged tagged positions — no "
+         "explode of (pos, term) rows, no window-function total sort per "
+         "doc (the SQL oracle does it that way; the engine does not have "
+         "to)."),
         ("q47_semantic_dedup", "Semantic dedup (SemDeDup): the nearest-"
          "centroid assignment is a pure Catalyst argmax over codebook "
          "literals (no join for the candidate generator); exact cosine "
