@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Spark-free hardware scaling ceiling for the scaling bench.
+
+On a time-shared host, N parallel processes each run slower than a lone
+process (hypervisor oversubscription, shared cache/membw) — an upper
+bound no Spark job can beat.  This probe measures it with pure-CPU md5
+loops: `efficiency(n) = t_single / t_n_way` (1.0 = perfect).  Run it
+next to `bench.py --scaling` and read the build's efficiency AGAINST
+this ceiling, not against 1.0: e.g. a 0.70 build efficiency under a
+0.79 metal ceiling means the job scales at ~0.89 of what the host
+allows that day.
+
+Prints one JSON line: {"single_sec": .., "ceilings": {"4": .., "8": ..}}.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import multiprocessing as mp
+import time
+
+
+def _work(_=None) -> int:
+    x = b"x" * 64
+    for _i in range(6_000_000):
+        hashlib.md5(x)
+    return 1
+
+
+def main() -> None:
+    _work()  # warm
+    t0 = time.time()
+    _work()
+    single = time.time() - t0
+    ceilings = {}
+    for n in (4, 8, 32):
+        t0 = time.time()
+        with mp.Pool(n) as p:
+            p.map(_work, range(n))
+        ceilings[str(n)] = round(single / (time.time() - t0), 3)
+    print(json.dumps({"single_sec": round(single, 2), "ceilings": ceilings}))
+
+
+if __name__ == "__main__":
+    main()
