@@ -410,6 +410,71 @@ def _q_streaming_dedup(spark, sf_dir):
     return res
 
 
+def _q_streaming_novelty(spark, sf_dir):
+    """Streaming LSH near-dup triage (applyInPandasWithState bucket
+    leaders) over the documents table replayed as TWO time-ordered
+    micro-batches (doc_id < 250 lands first): per doc, how many of its
+    LSH band buckets it was the first-ever arrival in.  Leaders are
+    deterministic (earliest batch, then min doc_id), so the DuckDB twin
+    replays them with a batch-major row_number."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from web_based_search_engine_spark.streaming.stream import streaming_lsh_novelty
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = _tmp_index_dir("q49_stream_")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    split = 250
+    docs.where(F.col("doc_id") < split).coalesce(1).write.parquet(
+        os.path.join(landing, "a")
+    )
+    docs.where(F.col("doc_id") >= split).coalesce(1).write.parquet(
+        os.path.join(landing, "b")
+    )
+    now = time.time()
+    for sub, mt in (("a", now - 120), ("b", now - 60)):
+        d = os.path.join(landing, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (mt, mt))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(landing, "*"))
+    )
+    q = (
+        streaming_lsh_novelty(stream, "doc_id", "text", 16, 4, 3)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = (
+        spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bands"),
+            F.sum(F.col("led").cast("long")).cast("long").alias("n_led"),
+        )
+        .withColumn("is_novel", F.col("n_led") == F.col("n_bands"))
+        .cache()
+    )
+    res.count()
+    return res
+
+
 def _q_media_image_features(spark, sf_dir):
     from web_based_search_engine_spark.functions.multimodal import (
         image_features,
@@ -823,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_license_scan": _q_license_scan,
         "q47_semantic_dedup": _q_semantic_dedup,
         "q48_proximity": _q_proximity,
+        "q49_streaming_novelty": _q_streaming_novelty,
     }
 
 
@@ -1279,6 +1345,49 @@ s AS (
   FROM cand, q
 )
 SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+def _sql_streaming_novelty(num_hashes: int = 16, bands: int = 4, k: int = 3,
+                           split: int = 250) -> str:
+    """ANSI-SQL twin of streaming_lsh_novelty's two-batch replay: the same
+    md5 MinHash signatures + band keys as _sql_minhash_near_dups, with the
+    bucket leader = first row by (batch, doc_id) — batch 0 is doc_id <
+    split, mirroring the driver's landed-file order."""
+    rpb = num_hashes // bands
+    mh_cols = ",\n  ".join(
+        f"list_min(list_transform(sh, s -> substring(md5('{i // 4}:' || s),"
+        f" {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5({})".format(" || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)))
+        for b in range(bands)
+    )
+    return f"""
+{_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - {k} + 2),
+                             i -> array_to_string(t[i:i+{k - 1}], ' ')) END AS sh
+  FROM toks
+),
+sigs AS (SELECT doc_id, {mh_cols} FROM sh),
+banded AS (
+  SELECT doc_id, band, band_key,
+         CASE WHEN doc_id < {split} THEN 0 ELSE 1 END AS batch
+  FROM (SELECT doc_id, [{band_keys}] AS bks FROM sigs),
+       LATERAL (SELECT unnest(bks) AS band_key, generate_subscripts(bks, 1) - 1 AS band)
+),
+led AS (
+  SELECT doc_id, band,
+         row_number() OVER (PARTITION BY band, band_key ORDER BY batch, doc_id) = 1 AS led
+  FROM banded
+)
+SELECT doc_id, count(*)::BIGINT AS n_bands, sum(led::INT)::BIGINT AS n_led,
+       count(*) = sum(led::INT) AS is_novel
+FROM led GROUP BY doc_id
 """
 
 
@@ -1820,6 +1929,7 @@ FROM sh
         "q46_license_scan": _sql_license_scan(_AUG_LICENSE_SQL),
         "q47_semantic_dedup": _sql_semantic_dedup(16, 0.95, 1000),
         "q48_proximity": _sql_proximity(PROX_TERMS, PROX_WINDOW),
+        "q49_streaming_novelty": _sql_streaming_novelty(16, 4, 3, 250),
         "q18_lsh_ann_top10": _sql_lsh_ann(8, 10),
         "q25_embedding_near_dups": _sql_embedding_near_dups(6, 0.9, 500),
         "q15_ann_cosine_top10": """

@@ -114,3 +114,53 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     run_drain()
     got2 = {(r["repo"], r["path"]) for r in spark.read.parquet(out).collect()}
     assert got2 == got | {("r/c", "new.py")}
+
+
+def test_streaming_lsh_novelty_bucket_leaders(spark, tmp_path):
+    """Stateful LSH novelty: the first-ever arrival in every band bucket
+    leads; an identical later doc leads nothing; state survives a query
+    restart over the same checkpoint (cross-batch leaders hold)."""
+    from pyspark.sql import types as T
+
+    from web_based_search_engine_spark.streaming.stream import streaming_lsh_novelty
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ])
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{landing}/{name}"
+        )
+
+    def run_drain():
+        stream = spark.readStream.schema(schema).parquet(f"{landing}/*")
+        rows = streaming_lsh_novelty(stream, "doc_id", "text", 16, 4, 3)
+        q = (rows.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    # batch 1: identical pair (2 beats nothing: 1 is min) + a unique doc
+    write_batch([(1, base), (2, base), (5, "totally different words here")], "b1")
+    run_drain()
+    rollup = lambda: {
+        r["doc_id"]: (r["n"], r["led"])
+        for r in spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum(F.col("led").cast("int")).alias("led"))
+        .collect()
+    }
+    got = rollup()
+    assert got[1] == (4, 4)      # leads all 4 band buckets
+    assert got[2] == (4, 0)      # identical: same buckets, all led already
+    assert got[5] == (4, 4)      # unique text, fresh buckets
+    # batch 2 (fresh query, same checkpoint): re-sent text leads nothing
+    write_batch([(9, base)], "b2")
+    run_drain()
+    assert rollup()[9] == (4, 0)

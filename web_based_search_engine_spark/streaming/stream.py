@@ -159,3 +159,81 @@ def streaming_exact_dedup(
     return with_fp.groupBy("_fp").applyInPandasWithState(
         first_only, out_schema, "seen boolean", "append", timeout
     )
+
+
+def streaming_lsh_novelty(
+    stream_df,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+):
+    """Custom stateful operator #2: streaming NEAR-dup triage — per-doc
+    (band, led) rows where ``led`` marks the doc as the first-ever
+    arrival in that LSH band bucket.
+
+    The streaming counterpart of the batch LSH candidate generator
+    (operators/dedup.py): each of a doc's ``bands`` band keys addresses a
+    bucket; the bucket's LEADER is the first arrival (earliest
+    micro-batch, then min ``id_col`` within that batch — deterministic,
+    so an offline replay can reproduce it).  A doc that leads ALL its
+    buckets has no earlier near-dup candidate anywhere in the stream; a
+    doc leading none of them is (a candidate) near-dup of earlier
+    content.  Downstream, ``n_led / n_bands`` is the usual ingest-triage
+    novelty score (the doc-level rollup is a plain batch groupBy over the
+    emitted rows — streaming append mode does not allow a second
+    stateful aggregation without a watermark, and the rollup is
+    per-sink-consumer policy anyway).
+
+    State per bucket: one boolean — the same O(distinct buckets) memory
+    story as streaming_exact_dedup, sharded by the (band, band_key)
+    grouping across executors and checkpointed with the query.  The
+    signature/banding math is the SAME pure-Catalyst md5 family as batch
+    MinHash, so stream and batch candidates cannot drift.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.analysis import tokenize
+    from ..operators.dedup import _banded, minhash_signatures
+
+    toks = tokenize(text_col, lowercase=True)
+    sigs = minhash_signatures(
+        stream_df.select(F.col(id_col), toks.alias("_t")),
+        id_col, "_t", num_hashes, shingle_k,
+    )
+    banded = _banded(sigs, id_col, num_hashes, bands)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), True),
+            T.StructField("band", T.IntegerType(), True),
+            T.StructField("led", T.BooleanType(), True),
+        ]
+    )
+
+    def bucket_leader(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows:
+            return
+        pdf = pd.concat(rows)
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        led = [False] * len(pdf)
+        if not state.exists:
+            led[0] = True  # first-ever arrival in this bucket
+            state.update((True,))
+        out = pdf[[id_col, "band"]].copy()
+        out["led"] = led
+        yield out
+
+    return banded.groupBy("band", "band_key").applyInPandasWithState(
+        bucket_leader,
+        out_schema,
+        "occupied boolean",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
