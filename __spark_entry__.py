@@ -799,6 +799,41 @@ def _q_proximity(spark, sf_dir):
     )
 
 
+def _q_length_profile(spark, sf_dir):
+    """Per-language token-length distribution profile (count / mean /
+    exact p50-p90-p99 / max) — the corpus-shape report behind curation
+    thresholds; exact percentiles so the oracle checks values."""
+    from web_based_search_engine_spark.functions.textstats import length_profile
+
+    return length_profile(_docs(spark, sf_dir), "text", "lang")
+
+
+def _q_asof_join(spark, sf_dir):
+    """AS-OF join (operators/events.py): each click event picks up the
+    latest same-user 'error' state at-or-before its timestamp — the
+    slowly-changing-dimension join Spark lacks natively, expressed as one
+    keyed shuffle + carry-forward window (no range join).  DuckDB's
+    native ASOF LEFT JOIN is the oracle."""
+    from web_based_search_engine_spark.operators.events import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    right = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cfg_value"))
+    )
+    left = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(left, right, ["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("asof_cfg_value", 6).alias("asof_cfg_value"),
+        # events.ts is TIMESTAMP_NTZ; the session TZ is pinned UTC so the
+        # cast is identity and epoch_us(DuckDB) == unix_micros(Spark)
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("asof_ts_us"),
+    )
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style cluster-scoped semantic dedup: IVF cells as the
     candidate generator, exact in-cell cosine, lowest-id-wins keep rule.
@@ -889,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_semantic_dedup": _q_semantic_dedup,
         "q48_proximity": _q_proximity,
         "q49_streaming_novelty": _q_streaming_novelty,
+        "q50_length_profile": _q_length_profile,
+        "q51_asof_join": _q_asof_join,
     }
 
 
@@ -1930,6 +1967,31 @@ FROM sh
         "q47_semantic_dedup": _sql_semantic_dedup(16, 0.95, 1000),
         "q48_proximity": _sql_proximity(PROX_TERMS, PROX_WINDOW),
         "q49_streaming_novelty": _sql_streaming_novelty(16, 4, 3, 250),
+        "q50_length_profile": r"""
+WITH t AS (
+  SELECT lang,
+    len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> ''))::DOUBLE AS n
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(avg(n), 6) AS mean_tokens,
+       round(quantile_cont(n, 0.5)::DOUBLE, 6) AS p50,
+       round(quantile_cont(n, 0.9)::DOUBLE, 6) AS p90,
+       round(quantile_cont(n, 0.99)::DOUBLE, 6) AS p99,
+       max(n)::BIGINT AS max_tokens
+FROM t GROUP BY lang
+""",
+        "q51_asof_join": """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS cfg_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id,
+       round(r.cfg_value, 6) AS asof_cfg_value,
+       epoch_us(r.ts) AS asof_ts_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
         "q18_lsh_ann_top10": _sql_lsh_ann(8, 10),
         "q25_embedding_near_dups": _sql_embedding_near_dups(6, 0.9, 500),
         "q15_ann_cosine_top10": """

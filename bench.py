@@ -129,6 +129,7 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
         "q40_datacard", "q42_chunking", "q43_winnow_pairs",
         "q44_code_features", "q45_secret_scan", "q46_license_scan",
         "q47_semantic_dedup", "q48_proximity",
+        "q50_length_profile", "q51_asof_join",
     ]:
         # min-of-2: the first execution of each op pays one-off codegen +
         # footer reads (measured 2-10x on this time-shared host); the

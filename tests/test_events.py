@@ -195,3 +195,78 @@ def test_window_stats_watermark_drops_late_events(spark, tmp_path):
     rows = {r["window_start"].hour: r for r in spark.read.parquet(out).collect()}
     # the 10:00 pane was emitted from batch 1 only — the late 100.0 never lands
     assert rows[10]["n_events"] == 2 and rows[10]["sum_value"] == 3.0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from web_based_search_engine_spark.operators.events import asof_join
+
+    right_rows = [
+        (1, 10.0, "a"), (1, 20.0, "b"), (1, 30.0, "c"),
+        (2, 15.0, "x"),
+    ]
+    left_rows = [
+        (101, 1, 5.0),   # before any right row -> null
+        (102, 1, 10.0),  # equal ts -> visible (>= semantics)
+        (103, 1, 25.0),  # between b and c -> b
+        (104, 1, 99.0),  # after all -> c
+        (105, 2, 14.9),  # just before x -> null
+        (106, 3, 50.0),  # key with no right rows -> null
+    ]
+    right = spark.createDataFrame(right_rows, "user_id long, ts double, cfg string")
+    left = spark.createDataFrame(left_rows, "event_id long, user_id long, ts double")
+    got = {
+        r["event_id"]: (r["asof_cfg"], r["asof_ts"])
+        for r in asof_join(left, right, ["user_id"]).collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["user_id", "ts", "cfg"]).sort_values("ts")
+    ref = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+    for _, row in ref.iterrows():
+        want_cfg = None if pd.isna(row["cfg"]) else row["cfg"]
+        assert got[row["event_id"]][0] == want_cfg, row["event_id"]
+    assert got[102] == ("a", 10.0)       # equal-ts inclusion
+    assert got[101] == (None, None) and got[106] == (None, None)
+
+
+def test_asof_join_is_partitioning_invariant(spark):
+    from web_based_search_engine_spark.operators.events import asof_join
+
+    right = spark.createDataFrame(
+        [(u, float(t), t * u) for u in range(4) for t in range(0, 100, 7)],
+        "user_id long, ts double, v long",
+    )
+    left = spark.createDataFrame(
+        [(i, i % 4, float(i % 97)) for i in range(200)],
+        "event_id long, user_id long, ts double",
+    )
+    a = sorted(map(tuple, asof_join(left, right, ["user_id"]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            asof_join(left.repartition(13), right.repartition(3), ["user_id"]).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_length_profile_matches_numpy(spark):
+    import numpy as np
+
+    from web_based_search_engine_spark.functions.textstats import length_profile
+
+    rows = []
+    for g, sizes in (("a", [1, 2, 3, 10]), ("b", [5] * 9 + [100])):
+        for i, n in enumerate(sizes):
+            rows.append((g, " ".join(["w"] * n)))
+    rows.append(("c", None))  # null text -> 0 tokens
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {r["lang"]: r.asDict() for r in length_profile(df, "text", "lang").collect()}
+    for g, sizes in (("a", [1, 2, 3, 10]), ("b", [5] * 9 + [100]), ("c", [0])):
+        arr = np.array(sizes, dtype=float)
+        assert got[g]["n_docs"] == len(sizes)
+        assert got[g]["mean_tokens"] == round(float(arr.mean()), 6)
+        for q in (50, 90, 99):
+            assert got[g][f"p{q}"] == round(float(np.percentile(arr, q)), 6), (g, q)
+        assert got[g]["max_tokens"] == int(arr.max())

@@ -180,6 +180,16 @@ def main() -> None:
         ("q46_license_scan", "License detection: lower(substring(head)) + "
          "chained CASE contains in one codegen projection — the substring "
          "bounds per-row cost on multi-MB blobs; zero exchanges."),
+        ("q50_length_profile", "Length profile: one partial->final "
+         "aggregate keyed on the group column; the exact percentile is a "
+         "sort-based ObjectHashAggregate whose buffer is bounded by "
+         "docs-per-group (languages/sources) — the approx variant "
+         "(percentile_approx sketch) is the unbounded-group path."),
+        ("q51_asof_join", "AS-OF join: union of tagged sides -> ONE hash "
+         "exchange on the key -> per-key sort + carry-forward last() "
+         "window -> filter left rows.  No BroadcastNestedLoopJoin, no "
+         "range-exploded join — the two shapes Spark would otherwise pick "
+         "for an inequality join, both quadratic blowups at scale."),
         ("q48_proximity", "Proximity retrieval: k per-term position "
          "aggregations join on doc_id (docs missing any term drop out "
          "before any window work), then the exact minimal-cover scan is "

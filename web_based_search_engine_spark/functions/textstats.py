@@ -253,3 +253,43 @@ def document_fingerprint(df: DataFrame, id_col: str, text_col: str,
             F.md5(F.lit("")),
         ).alias("fingerprint"),
     )
+
+
+def length_profile(
+    df: DataFrame,
+    text_col: str,
+    by_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group token-length distribution profile -> (group, n_docs,
+    mean_tokens, p50/p90/p99..., max_tokens) — the corpus-shape report
+    that backs curation thresholds (truncation lengths, Gopher-style
+    length filters, export chunk sizing).
+
+    ``exact=True`` uses Spark's exact ``percentile`` aggregate (sort-based,
+    buffers each group's values) — right for profile REPORTS where groups
+    are bounded (languages, sources) and the oracle can check it
+    value-exactly.  At 10^12 docs with huge groups switch ``exact=False``:
+    ``percentile_approx`` (t-digest-style sketch, mergeable, bounded
+    memory) — the same column set, approximate values."""
+    n = whitespace_token_count(
+        F.coalesce(F.col(text_col), F.lit(""))
+    ).cast("double")
+    pct = F.percentile if exact else (
+        lambda c, p: F.percentile_approx(c, p, 10000)
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("_n"), 6).alias("mean_tokens"),
+        *[
+            F.round(pct(F.col("_n"), q), 6).alias(f"p{int(q * 100)}")
+            for q in qs
+        ],
+        F.max("_n").cast("long").alias("max_tokens"),
+    ]
+    return (
+        df.select(F.col(by_col), n.alias("_n"))
+        .groupBy(by_col)
+        .agg(*aggs)
+    )

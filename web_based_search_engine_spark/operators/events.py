@@ -104,3 +104,75 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """AS-OF join (Spark has no native one): for each left row, attach the
+    latest right row with the same key and ``right_ts <= left_ts`` ->
+    left.* + ``<prefix><value>...`` + ``<prefix>ts`` (null when no right
+    row precedes).  The event-log / slowly-changing-dimension join:
+    "which config/model/price was in effect when this event happened".
+
+    Shape: union the two sides tagged, ONE hash shuffle on the key, and a
+    per-key sort-ordered ``last(_payload, ignorenulls=True)`` carry-forward
+    window — no range-condition join (which Spark would plan as a
+    broadcast-nested-loop or an exploded inequality join, both quadratic
+    blowups at scale), no per-row Python.  At equal timestamps the right
+    row is visible to the left row (sort puts the right side first), the
+    same >= semantics as SQL ASOF JOIN.  A hot key serializes that key's
+    sort — the usual keyed-window caveat; keys here are users/entities,
+    naturally fine-grained.
+
+    Right (key, right_ts) pairs should be unique (pre-aggregate if not) —
+    with duplicates the carried value is the last under an arbitrary-but-
+    deterministic tiebreak, same as SQL ASOF engines."""
+    from pyspark.sql import Window
+
+    value_cols = value_cols or [
+        c for c in right.columns if c not in set(on) | {right_ts}
+    ]
+    payload = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c) for c in value_cols]
+    )
+    left_cols = left.columns
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload.alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left_cols],
+    )
+    l = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c).alias(f"_l_{c}") for c in left_cols],
+    )
+    # _payload in the sort: right rows sharing (key, ts) get a
+    # deterministic relative order (struct compare falls through _ts to
+    # the value columns), so the carried value never depends on partition
+    # layout; left rows (null payload) sort together, which is irrelevant
+    # — they only read, never carry.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_t", "_side", "_payload")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).withColumn(
+        "_asof", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = carried.where(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left_cols],
+        *[F.col(f"_asof.{c}").alias(f"{prefix}{c}") for c in value_cols],
+        F.col("_asof._ts").alias(f"{prefix}ts"),
+    )
+    return out
