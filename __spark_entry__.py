@@ -544,11 +544,17 @@ def _q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> exact-fixpoint connected components -> removal
     units (component, n_docs, doc_ids, keep_doc_id).  The fixpoint makes
     the result iteration-order independent, so the recursive-SQL oracle
-    (transitive closure + min-reachable label) matches exactly."""
+    (transitive closure + min-reachable label) matches exactly.
+
+    ``doc_ids`` is serialized to a comma-joined STRING for the contract:
+    the driver's pandas canonicalizer cannot hash list cells (the one red
+    row of CORRECTNESS_r02) — the API keeps the array, only this driver
+    projection flattens it."""
     docs = _docs(spark, sf_dir).select("doc_id", _raw_tokens_col().alias("toks"))
-    return D.dedup_clusters(
+    out = D.dedup_clusters(
         docs, "doc_id", "toks", num_hashes=16, bands=4, shingle_k=3, threshold=0.5
     )
+    return out.withColumn("doc_ids", F.array_join("doc_ids", ","))
 
 
 def _aug_pii_text():
@@ -1701,7 +1707,7 @@ labels AS (
 )
 SELECT component::BIGINT AS component,
        count(*)::BIGINT AS n_docs,
-       list_sort(list(doc_id)) AS doc_ids,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
        min(doc_id)::BIGINT AS keep_doc_id
 FROM labels GROUP BY component
 """
