@@ -270,3 +270,27 @@ def test_length_profile_matches_numpy(spark):
         for q in (50, 90, 99):
             assert got[g][f"p{q}"] == round(float(np.percentile(arr, q)), 6), (g, q)
         assert got[g]["max_tokens"] == int(arr.max())
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """SQL ASOF semantics (ADVICE r2): a NULL right_ts row is dropped (it
+    must not carry-forward to every left row); a NULL left_ts row passes
+    through with NULL as-of columns."""
+    from web_based_search_engine_spark.operators.events import asof_join
+
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, 10.0, "a")],
+        "user_id long, ts double, cfg string",
+    )
+    left = spark.createDataFrame(
+        [(101, 1, 5.0), (102, 1, 10.0), (103, 1, None)],
+        "event_id long, user_id long, ts double",
+    )
+    got = {
+        r["event_id"]: (r["asof_cfg"], r["asof_ts"])
+        for r in asof_join(left, right, ["user_id"]).collect()
+    }
+    assert got[101] == (None, None)      # before 'a'; 'ghost' must not leak
+    assert got[102] == ("a", 10.0)
+    assert got[103] == (None, None)      # NULL left ts: row kept, no match
+    assert len(got) == 3

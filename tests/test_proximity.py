@@ -128,3 +128,22 @@ def test_near_search_is_a_score_preserving_filter(spark, tmp_path):
         for r in qc.near_search(["foo_bar", "hello-world"], 40, k=1000, assemble=False).collect()
     }
     assert wide_c == wide
+
+
+def test_near_search_window_zero_and_k_zero_are_empty(spark, tmp_path):
+    """Falsy-zero regression guards (ADVICE r2): window=0 is a vacuously
+    empty proximity constraint, k=0 asks for zero results — neither means
+    'use the default'."""
+    from web_based_search_engine_spark import config, fixtures
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.plans.query import QueryEngine
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+
+    storage = ParquetIndexStorage(str(tmp_path / "idx0"))
+    IndexBuilder(
+        spark, storage, config.IndexConfig(num_term_buckets=2)
+    ).build(fixtures.corpus_df(spark, 60))
+    for mode in ("blocks", "columnar"):
+        qe = QueryEngine(spark, storage, mode=mode)
+        assert qe.near_search(["foo_bar", "hello-world"], 0, assemble=False).count() == 0
+        assert qe.search("foo_bar", k=0, assemble=False).count() == 0

@@ -133,12 +133,20 @@ def asof_join(
 
     Right (key, right_ts) pairs should be unique (pre-aggregate if not) —
     with duplicates the carried value is the last under an arbitrary-but-
-    deterministic tiebreak, same as SQL ASOF engines."""
+    deterministic tiebreak, same as SQL ASOF engines.
+
+    NULL timestamps never match, mirroring SQL ASOF JOIN (DuckDB/QuestDB):
+    a right row with NULL ``right_ts`` is dropped (it would otherwise sort
+    first and be carried to every left row), and a left row with NULL
+    ``left_ts`` passes through with NULL as-of columns."""
     from pyspark.sql import Window
 
     value_cols = value_cols or [
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
+    right = right.where(F.col(right_ts).isNotNull())
+    null_left = left.where(F.col(left_ts).isNull())
+    left = left.where(F.col(left_ts).isNotNull())
     payload = F.struct(
         F.col(right_ts).alias("_ts"), *[F.col(c) for c in value_cols]
     )
@@ -175,4 +183,12 @@ def asof_join(
         *[F.col(f"_asof.{c}").alias(f"{prefix}{c}") for c in value_cols],
         F.col("_asof._ts").alias(f"{prefix}ts"),
     )
-    return out
+    null_pass = null_left.select(
+        *[F.col(c) for c in left_cols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
+            for c in value_cols
+        ],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{prefix}ts"),
+    )
+    return out.unionByName(null_pass)

@@ -123,7 +123,7 @@ def wand_top_k(
     threshold (k-th seed score) and the final cut honor it, so callers
     requesting k > cfg.top_k are not silently capped."""
     cfg = cfg or ScoringConfig()
-    k = k or cfg.top_k
+    k = cfg.top_k if k is None else k  # explicit k=0 means 0 rows, not default
     assert cfg.scorer == "bm25", "WAND upper bounds require the additive BM25 scorer"
     if persist_registry:
         # previous query's pruned block set: by now either materialized

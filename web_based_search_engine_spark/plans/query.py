@@ -210,7 +210,7 @@ class QueryEngine:
         assemble: bool = True,
         near: int | None = None,
     ) -> DataFrame:
-        k = k or self.scoring.top_k
+        k = self.scoring.top_k if k is None else k
         # phrase/proximity filter BEFORE the top-k cut and never change
         # scores (Indexer.java:270-276); candidates restrict WAND's ranking
         # set.  Both filters compose (intersection) when given together.
@@ -223,7 +223,9 @@ class QueryEngine:
                 term_rows=self._lookup_cached(phrase),
                 blocks=self.blocks if self._blocks_serving else None,
             )
-        if near:
+        # `is not None`: window=0 is a real (vacuously empty) proximity
+        # constraint — no doc has min_window <= 0 — not "no filter"
+        if near is not None:
             prox = proximity_windows(
                 None if self._blocks_serving else self.postings,
                 self.vocab,
