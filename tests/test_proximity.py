@@ -147,3 +147,72 @@ def test_near_search_window_zero_and_k_zero_are_empty(spark, tmp_path):
         qe = QueryEngine(spark, storage, mode=mode)
         assert qe.near_search(["foo_bar", "hello-world"], 0, assemble=False).count() == 0
         assert qe.search("foo_bar", k=0, assemble=False).count() == 0
+
+
+def test_phrase_two_pass_equals_single_pass(spark, built_index, monkeypatch):
+    """The two-pass blocks-mode phrase plan (doc-id intersect, then
+    positions only for surviving blocks) must return exactly the
+    single-pass doc set — forced on by dropping the df crossover to 0,
+    including the repeated-term and no-survivor edge cases."""
+    from web_based_search_engine_spark.operators import phrase as PH
+    from web_based_search_engine_spark.plans.query import QueryEngine
+
+    storage = built_index["storage"]
+    qe = QueryEngine(spark, storage, mode="blocks")
+    blocks = qe.blocks
+    vocab = qe.vocab
+
+    cases = [
+        ["search", "engin"],          # the F4 q09 phrase (stemmed)
+        ["engin", "retriev"],
+        ["foo_bar", "foo_bar"],       # repeated-term adjacency
+        ["retriev", "engin"],         # reversed (few/no matches)
+        ["string_help", "agre"],      # cross-field -> no match
+        ["search", "engin", "retriev"],
+    ]
+    for terms in cases:
+        rows = qe._lookup_cached(terms)
+        if len(rows) < len(set(terms)):
+            continue
+        single = {
+            r["doc_id"]
+            for r in PH.phrase_doc_ids(None, vocab, terms, term_rows=rows,
+                                       blocks=blocks).collect()
+        }
+        monkeypatch.setattr(PH, "TWO_PASS_MIN_POSTINGS", 0)
+        monkeypatch.setattr(PH, "TWO_PASS_ABS_POSTINGS", 0)
+        two = {
+            r["doc_id"]
+            for r in PH.phrase_doc_ids(None, vocab, terms, term_rows=rows,
+                                       blocks=blocks).collect()
+        }
+        monkeypatch.undo()
+        assert two == single, terms
+
+
+def test_phrase_and_near_result_cache(spark, built_index):
+    """The engine's LRU filter-set cache returns identical doc sets on
+    repeat queries, keeps phrase and near keys distinct, and evicts +
+    unpersists beyond the cap."""
+    from web_based_search_engine_spark.plans.query import QueryEngine
+
+    qe = QueryEngine(spark, built_index["storage"], mode="blocks")
+    q = 'posting "searching engines" retrieval'
+    first = sorted((r["doc_id"], round(r["score"], 9))
+                   for r in qe.search(q, assemble=False).collect())
+    assert len(qe._phrase_cache) == 1
+    second = sorted((r["doc_id"], round(r["score"], 9))
+                    for r in qe.search(q, assemble=False).collect())
+    assert first == second
+    assert len(qe._phrase_cache) == 1  # hit, not a second entry
+    # near uses the same cache under a distinct key family
+    n1 = {r["doc_id"] for r in qe.near_search(
+        ["foo_bar", "hello-world"], 10, assemble=False).collect()}
+    n2 = {r["doc_id"] for r in qe.near_search(
+        ["foo_bar", "hello-world"], 10, assemble=False).collect()}
+    assert n1 == n2 and len(qe._phrase_cache) == 2
+    # eviction: shrink the cap and add one more entry -> oldest evicted
+    qe._phrase_cache_cap = 2
+    qe.search('"engines retrieval"', assemble=False).collect()
+    assert len(qe._phrase_cache) == 2
+    assert ("p", "search", "engin") not in qe._phrase_cache

@@ -516,7 +516,8 @@ def _binary_concat_view(arr) -> tuple[np.ndarray, np.ndarray]:
     return data, np.diff(offsets).astype(np.int64)
 
 
-def decode_blocks_arrow(tbl, with_positions: bool = False):
+def decode_blocks_arrow(tbl, with_positions: bool = False,
+                        with_block_ids: bool = False):
     """Arrow block rows -> flat posting rows, vectorized across ALL blocks
     in the batch (zero per-block Python — the decoder twin of
     encode_group_arrow; equivalence-tested against decode_blocks_pdf).
@@ -524,7 +525,9 @@ def decode_blocks_arrow(tbl, with_positions: bool = False):
     Each logical stream (doc ids, tfs, position lens, positions) is
     varint-decoded ONCE over the batch-concatenated buffer; per-block
     structure is recovered from the known counts via segmented cumsums.
-    Position lists are emitted as zero-copy Arrow ListArrays."""
+    Position lists are emitted as zero-copy Arrow ListArrays.
+    ``with_block_ids`` repeats each block's ``block_id`` onto its posting
+    rows — the provenance column the two-pass phrase path joins on."""
     import pyarrow as pa
 
     counts = tbl["count"].to_numpy().astype(np.int64)
@@ -533,6 +536,10 @@ def decode_blocks_arrow(tbl, with_positions: bool = False):
     out_cols["term_id"] = pa.array(
         np.repeat(tbl["term_id"].to_numpy(), counts), type=pa.int64()
     )
+    if with_block_ids:
+        out_cols["block_id"] = pa.array(
+            np.repeat(tbl["block_id"].to_numpy(), counts), type=pa.int32()
+        )
     doc_data, _ = _binary_concat_view(tbl["doc_ids"])
     deltas = varint_decode(doc_data)
     assert deltas.size == total, (deltas.size, total)
@@ -600,29 +607,35 @@ def decode_blocks_pdf(pdf: pd.DataFrame, with_positions: bool = False) -> pd.Dat
     return res
 
 
-def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:
+def decode_blocks(blocks: DataFrame, with_positions: bool = False,
+                  with_block_ids: bool = False) -> DataFrame:
     """Distributed block decode -> postings-shaped DataFrame.
 
     mapInArrow over a pruned column set: the batch-vectorized decoder never
     boxes a Python object per row, and position lists leave as zero-copy
     Arrow ListArrays.  Column pruning here reaches the parquet scan (a
-    score-only decode never reads the position bytes)."""
+    score-only decode never reads the position bytes).
+    ``with_block_ids`` adds each row's source ``block_id`` (provenance for
+    the two-pass phrase block prune)."""
     import pyarrow as pa
 
     cols = ["term_id", "count", "doc_ids", "title_tfs", "body_tfs"]
+    schema_parts = ["term_id long"]
+    if with_block_ids:
+        cols.insert(1, "block_id")
+        schema_parts.append("block_id int")
+    schema_parts += ["doc_id long", "title_tf int", "body_tf int"]
     if with_positions:
-        schema = (
-            "term_id long, doc_id long, title_tf int, body_tf int, "
-            "title_pos array<int>, body_pos array<int>"
-        )
+        schema_parts += ["title_pos array<int>", "body_pos array<int>"]
         cols += ["title_pos_lens", "title_pos", "body_pos_lens", "body_pos"]
-    else:
-        schema = "term_id long, doc_id long, title_tf int, body_tf int"
+    schema = ", ".join(schema_parts)
 
     def gen(it):
         for batch in it:
             if batch.num_rows:
-                out = decode_blocks_arrow(pa.Table.from_batches([batch]), with_positions)
+                out = decode_blocks_arrow(
+                    pa.Table.from_batches([batch]), with_positions, with_block_ids
+                )
                 yield from out.to_batches()
 
     return blocks.select(*cols).mapInArrow(gen, schema)

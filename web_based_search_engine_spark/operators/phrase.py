@@ -33,6 +33,15 @@ def _term_postings(postings: DataFrame, term_row: dict) -> DataFrame:
     )
 
 
+def _term_blocks(blocks: DataFrame, term_row: dict) -> DataFrame:
+    """One term's block rows, bucket partition-pruned + term_id pushed to
+    the parquet reader."""
+    return blocks.where(
+        (F.col("bucket") == term_row["bucket"])
+        & (F.col("term_id") == term_row["term_id"])
+    )
+
+
 def _term_postings_from_blocks(blocks: DataFrame, term_row: dict) -> DataFrame:
     """One phrase term's positional postings decoded from the compressed
     block index (bucket partition-pruned + term_id pushed to parquet; the
@@ -41,11 +50,7 @@ def _term_postings_from_blocks(blocks: DataFrame, term_row: dict) -> DataFrame:
     table — one positional structure, like PostingIndex.java:184-220."""
     from . import blocks as B
 
-    sel = blocks.where(
-        (F.col("bucket") == term_row["bucket"])
-        & (F.col("term_id") == term_row["term_id"])
-    )
-    return B.decode_blocks(sel, with_positions=True).select(
+    return B.decode_blocks(_term_blocks(blocks, term_row), with_positions=True).select(
         "doc_id", "title_pos", "body_pos"
     )
 
@@ -77,14 +82,25 @@ def phrase_doc_ids(
     if any(t not in by_term for t in phrase_terms):
         return empty
 
-    def term_df(term: str) -> DataFrame:
-        if blocks is not None:
-            return _term_postings_from_blocks(blocks, by_term[term])
-        return _term_postings(postings, by_term[term])
+    if blocks is not None:
+        return _phrase_doc_ids_blocks(blocks, phrase_terms, by_term, empty)
 
-    state = term_df(phrase_terms[0])
+    pos_by_term = {
+        t: _term_postings(postings, by_term[t])
+        for t in dict.fromkeys(phrase_terms)
+    }
+    return _adjacency_fold(phrase_terms, pos_by_term)
+
+
+def _adjacency_fold(
+    phrase_terms: list[str], pos_by_term: dict[str, DataFrame]
+) -> DataFrame:
+    """Sequential left fold of the positional adjacency merge
+    (PostingIndex.java:242 shape): state carries, per doc, the positions
+    where the phrase-so-far ENDS, separately per field."""
+    state = pos_by_term[phrase_terms[0]]
     for term in phrase_terms[1:]:
-        cur = term_df(term).withColumnsRenamed(
+        cur = pos_by_term[term].withColumnsRenamed(
             {"title_pos": "_cur_title", "body_pos": "_cur_body"}
         )
         state = (
@@ -101,6 +117,99 @@ def phrase_doc_ids(
             .where((F.size("title_pos") > 0) | (F.size("body_pos") > 0))
         )
     return state.select("doc_id")
+
+
+# Crossover for the two-pass phrase plan (same spirit as wand_top_k's
+# "auto" prune shortcut), decided driver-side from the vocab dfs with no
+# extra job.  Two-pass pays 3 extra small jobs (pass-1 decode+intersect
+# checkpoint, survivor count, per-term block prune), so it must SAVE more
+# position-decode than that:
+# - asymmetric phrases (rarest term df << total) — survivors are bounded
+#   by the rare term, so the hot terms' position decode is almost entirely
+#   skipped; this is the "hot phrase term" scale-killer VERDICT r2 flagged;
+# - astronomically hot phrases (total df > ABS threshold) — position bytes
+#   dominate the scan regardless of overlap, and pass 1 reads none of them.
+# Two hot co-occurring terms at bench scale hit neither: measured 2.5 s
+# two-pass vs 1.2 s single-pass at sf0.1 (most blocks hold a survivor, so
+# the prune saves nothing and the extra jobs are pure overhead).
+TWO_PASS_MIN_POSTINGS = 20_000      # below this, always single-pass
+TWO_PASS_ASYMMETRY = 16             # rarest df < total/this -> two-pass
+TWO_PASS_ABS_POSTINGS = 2_000_000   # above this, always two-pass
+# survivor sets up to this size broadcast into the pass-2 semi-joins; above
+# it (two hot terms with massive overlap) fall back to shuffle joins
+_BROADCAST_SURVIVOR_CAP = 200_000
+
+
+def _phrase_doc_ids_blocks(
+    blocks: DataFrame,
+    phrase_terms: list[str],
+    by_term: dict[str, dict],
+    empty: DataFrame,
+) -> DataFrame:
+    """Blocks-mode phrase with two-pass position decode (SURVEY §7 M3:
+    "positions decoded only for survivors"; VERDICT r2 item 3).
+
+    Pass 1 decodes DOC IDS ONLY per phrase term (the position byte columns
+    are never read — column pruning reaches the parquet scan) and
+    intersects the per-term doc sets.  Pass 2 re-decodes WITH positions
+    only the blocks that contain a surviving doc — block provenance rides
+    the pass-1 rows (``with_block_ids``), so the block prune is a plain
+    equi-semi-join on block_id, not a range join — then runs the adjacency
+    fold on the surviving postings.  For a selective phrase over a hot
+    term this skips position decode for almost every block of the hot
+    term's posting list, which is exactly the cost that dominated the
+    single-pass plan.  Cheap phrases (small total df) keep the single-pass
+    plan: one job beats three tiny ones."""
+    from . import blocks as B
+
+    uniq = list(dict.fromkeys(phrase_terms))
+
+    # a 1-term "phrase" is just term presence: doc ids only, positions
+    # never decoded at all
+    if len(phrase_terms) == 1:
+        return B.decode_blocks(_term_blocks(blocks, by_term[uniq[0]])).select("doc_id")
+
+    dfs = [int(by_term[t]["df"]) for t in uniq]
+    total_df = sum(dfs)
+    two_pass = total_df >= TWO_PASS_MIN_POSTINGS and (
+        total_df >= TWO_PASS_ABS_POSTINGS
+        or min(dfs) * TWO_PASS_ASYMMETRY < total_df
+    )
+    if len(uniq) == 1 or not two_pass:
+        pos_by_term = {t: _term_postings_from_blocks(blocks, by_term[t]) for t in uniq}
+        return _adjacency_fold(phrase_terms, pos_by_term)
+
+    # ---- pass 1: doc-id-only decode + intersection (rarest term first so
+    # the join chain shrinks earliest; each term's block provenance rides
+    # along as its own column)
+    col_of = {t: f"_blk_{i}" for i, t in enumerate(uniq)}
+    ids = None
+    for t in sorted(uniq, key=lambda t: int(by_term[t]["df"])):
+        d = B.decode_blocks(
+            _term_blocks(blocks, by_term[t]), with_block_ids=True
+        ).select("doc_id", F.col("block_id").alias(col_of[t]))
+        ids = d if ids is None else ids.join(d, "doc_id")
+    # survivors are small (docs containing EVERY phrase term); materialize
+    # once — pass 2 reads them |uniq|+1 times
+    survivors = ids.localCheckpoint(eager=True)
+    n_surv = survivors.count()  # cheap: counts the checkpointed partitions
+    if n_surv == 0:
+        return empty
+    maybe_bcast = F.broadcast if n_surv <= _BROADCAST_SURVIVOR_CAP else (lambda df: df)
+
+    # ---- pass 2: positions only for blocks holding a surviving doc
+    pos_by_term = {}
+    for t in uniq:
+        kept = survivors.select(F.col(col_of[t]).alias("block_id")).distinct()
+        blk = _term_blocks(blocks, by_term[t]).join(
+            maybe_bcast(kept), "block_id", "left_semi"
+        )
+        pos_by_term[t] = (
+            B.decode_blocks(blk, with_positions=True)
+            .join(maybe_bcast(survivors.select("doc_id")), "doc_id", "left_semi")
+            .select("doc_id", "title_pos", "body_pos")
+        )
+    return _adjacency_fold(phrase_terms, pos_by_term)
 
 
 _BIG_SPAN = 1 << 30

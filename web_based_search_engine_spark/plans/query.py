@@ -134,6 +134,15 @@ class QueryEngine:
         # term_id -> (gmax_wtf, gmin_len): WAND global-bound ingredients,
         # filled lazily by wand_top_k (one block-metadata agg per cold term)
         self._bounds_cache: dict[int, tuple[float, int]] = {}
+        # phrase terms -> materialized doc-id set (the filter half of a
+        # query result cache — standard serving-tier practice; sound here
+        # because the engine is pinned to the manifest version it loaded,
+        # see _term_cache note above).  Entries are persisted DataFrames of
+        # doc ids (small: docs containing the whole phrase), LRU-bounded;
+        # eviction unpersists.  Scoring is NOT cached — k and the keyword
+        # set vary per query; the phrase doc set does not.
+        self._phrase_cache: dict[tuple[str, ...], DataFrame] = {}
+        self._phrase_cache_cap = 64
         # at most one query's pruned block set stays persisted per engine
         # (wand_top_k unpersists the previous entry on the next search)
         self._persist_registry: list[DataFrame] = []
@@ -216,24 +225,11 @@ class QueryEngine:
         # set.  Both filters compose (intersection) when given together.
         candidates = None
         if phrase:
-            candidates = phrase_doc_ids(
-                None if self._blocks_serving else self.postings,
-                self.vocab,
-                phrase,
-                term_rows=self._lookup_cached(phrase),
-                blocks=self.blocks if self._blocks_serving else None,
-            )
+            candidates = self._phrase_candidates(phrase)
         # `is not None`: window=0 is a real (vacuously empty) proximity
         # constraint — no doc has min_window <= 0 — not "no filter"
         if near is not None:
-            prox = proximity_windows(
-                None if self._blocks_serving else self.postings,
-                self.vocab,
-                terms,
-                near,
-                term_rows=self._lookup_cached(terms),
-                blocks=self.blocks if self._blocks_serving else None,
-            ).select("doc_id")
+            prox = self._near_candidates(terms, near)
             candidates = (
                 prox if candidates is None
                 else candidates.join(prox, "doc_id", "left_semi")
@@ -243,6 +239,55 @@ class QueryEngine:
         return self._assemble(result) if assemble else result
 
     # ------------------------------------------------------------ internals
+    def _phrase_candidates(self, phrase: list[str]) -> DataFrame:
+        """Phrase doc-id set through the engine's LRU result cache.
+
+        A hit skips the whole positional pipeline (decode + adjacency
+        fold); a miss computes it once, materializes the (small) doc-id
+        set with ``persist``+``count``, and caches it.  Hot phrases repeat
+        heavily in real query logs, and the set is k-independent, so this
+        is the highest-value cacheable unit in the serving path."""
+        key = ("p", *phrase)
+        hit = self._phrase_cache.pop(key, None)
+        if hit is not None:
+            self._phrase_cache[key] = hit  # re-insert: LRU recency
+            return hit
+        ids = phrase_doc_ids(
+            None if self._blocks_serving else self.postings,
+            self.vocab,
+            phrase,
+            term_rows=self._lookup_cached(phrase),
+            blocks=self.blocks if self._blocks_serving else None,
+        ).persist()
+        ids.count()  # materialize now: the scoring job must not re-run it
+        return self._cache_candidates(key, ids)
+
+    def _near_candidates(self, terms: list[str], window: int) -> DataFrame:
+        """Proximity doc-id set through the same LRU cache (keyed by the
+        term set + window; like phrase, k-independent and score-free)."""
+        key = ("n", str(window), *terms)
+        hit = self._phrase_cache.pop(key, None)
+        if hit is not None:
+            self._phrase_cache[key] = hit
+            return hit
+        ids = proximity_windows(
+            None if self._blocks_serving else self.postings,
+            self.vocab,
+            terms,
+            window,
+            term_rows=self._lookup_cached(terms),
+            blocks=self.blocks if self._blocks_serving else None,
+        ).select("doc_id").persist()
+        ids.count()
+        return self._cache_candidates(key, ids)
+
+    def _cache_candidates(self, key: tuple, ids: DataFrame) -> DataFrame:
+        if len(self._phrase_cache) >= self._phrase_cache_cap:
+            oldest = next(iter(self._phrase_cache))
+            self._phrase_cache.pop(oldest).unpersist(blocking=False)
+        self._phrase_cache[key] = ids
+        return ids
+
     def _score(self, terms: list[str], candidates: DataFrame | None = None,
                k: int | None = None) -> DataFrame:
         term_rows = self._lookup_cached(terms)
