@@ -475,22 +475,43 @@ def _q_streaming_novelty(spark, sf_dir):
     return res
 
 
-def _q_media_image_features(spark, sf_dir):
+def _q_media_features(spark, sf_dir):
+    """Multimodal features with REAL stdlib decode (round-3 merge of the
+    former q20/q21): the synthetic media table carries genuine PNG/BMP
+    image payloads and raw audio/video byte streams whose content is a
+    closed-form function of sample_id (functions/multimodal.py), so the
+    DuckDB oracle recomputes the DECODED features — dimensions and
+    exact-integer-moment mean/std straight from the pixel rule, frame
+    digests from the byte rule — making this an encode->decode roundtrip
+    check, not a rows-only smoke test."""
     from web_based_search_engine_spark.functions.multimodal import (
         image_features,
+        media_frame_sample,
         synth_media_df,
     )
 
-    return image_features(synth_media_df(spark, 48), fake=True)
-
-
-def _q_media_frames(spark, sf_dir):
-    from web_based_search_engine_spark.functions.multimodal import (
-        audio_frame_sample,
-        synth_media_df,
+    media = synth_media_df(spark, 48)
+    img = image_features(media).select(
+        "sample_id",
+        F.lit("image").alias("kind"),
+        "width",
+        "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"),
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("string").alias("frame_digest"),
     )
-
-    return audio_frame_sample(synth_media_df(spark, 48), fake=True)
+    frm = media_frame_sample(media).select(
+        "sample_id",
+        F.lit("frame").alias("kind"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("mean_intensity"),
+        F.lit(None).cast("double").alias("std_intensity"),
+        "frame_idx",
+        "frame_digest",
+    )
+    return img.unionByName(frm)
 
 
 def _q_pagerank(spark, sf_dir):
@@ -900,8 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_minhash_near_dups": _q_near_dups,
         "q18_lsh_ann_top10": _q_lsh_ann,
         "q19_bm25_stemmed_top50": _q_bm25_stemmed,
-        "q20_media_image_features": _q_media_image_features,
-        "q21_media_frame_sample": _q_media_frames,
+        "q20_media_features": _q_media_features,
         "q22_link_degrees": _q_link_degrees,
         "q23_import_link_graph": _q_import_link_graph,
         "q24_ivf_ann_top10": _q_ivf_ann,
@@ -1713,6 +1733,56 @@ FROM labels GROUP BY component
 """
 
 
+def _sql_media_features(n: int = 48, frame_bytes: int = 64) -> str:
+    """DuckDB twin of _q_media_features — recomputes the DECODED outputs
+    from the synthesis rules alone (functions/multimodal.py): pixel(x,y) =
+    (a*x+b*y+c)%256 and av_byte(j) = (131*i+17*j)%256.  The Spark side
+    gets these numbers by actually decoding PNG/BMP bytes, so equality is
+    an encode->decode roundtrip proof.  Mean/std use the same exact
+    integer moments and the same float expression shape
+    (s/n, sqrt(s2/n - (s/n)*(s/n))) so the doubles agree bit-for-bit
+    before rounding."""
+    return f"""
+WITH ids AS (SELECT unnest(range(0, {n})) AS i),
+img AS (
+  SELECT i, 32 + (i % 8) * 16 AS w, 32 + (i % 4) * 16 AS h,
+         3 + i % 5 AS a, 5 + i % 7 AS b, (7 * i) % 256 AS c
+  FROM ids WHERE i % 3 = 0
+),
+vals AS (
+  SELECT i, w, h,
+    flatten(list_transform(range(0, h),
+      yy -> list_transform(range(0, w), xx -> (a * xx + b * yy + c) % 256))) AS vs
+  FROM img
+),
+pix AS (
+  SELECT i, w, h,
+    list_sum(vs)::BIGINT AS s,
+    list_sum(list_transform(vs, v -> v * v))::BIGINT AS s2,
+    len(vs)::BIGINT AS nn
+  FROM vals
+),
+av AS (SELECT i, 256 + (i % 5) * 64 AS len FROM ids WHERE i % 3 <> 0),
+fr AS (SELECT i, unnest(range(0, len // {frame_bytes})) AS f FROM av),
+fb AS (SELECT i, f, unnest(range(f * {frame_bytes}, (f + 1) * {frame_bytes})) AS j FROM fr),
+fh AS (
+  SELECT i, f,
+    substr(sha256(string_agg(lower(lpad(hex((131 * i + 17 * j) % 256), 2, '0')),
+                             '' ORDER BY j)), 1, 16) AS dg
+  FROM fb GROUP BY i, f
+)
+SELECT i::BIGINT AS sample_id, 'image' AS kind, w::INT AS width, h::INT AS height,
+       round(s::DOUBLE / nn, 6) AS mean_intensity,
+       round(sqrt(s2::DOUBLE / nn - (s::DOUBLE / nn) * (s::DOUBLE / nn)), 6) AS std_intensity,
+       NULL::INT AS frame_idx, NULL::VARCHAR AS frame_digest
+FROM pix
+UNION ALL
+SELECT i::BIGINT, 'frame', NULL::INT, NULL::INT, NULL::DOUBLE, NULL::DOUBLE,
+       f::INT, dg
+FROM fh
+"""
+
+
 def _sql_pii_redaction() -> str:
     """DuckDB twin of _q_pii_redaction: rebuild the byte-identical augmented
     text, apply the SAME three regexes in the SAME order (patterns are
@@ -1965,6 +2035,7 @@ SELECT doc_id, coalesce(list_min(list_transform(sh, s -> md5(s))), md5('')) AS f
 FROM sh
 """,
         "q16_simhash": _sql_simhash(),
+        "q20_media_features": _sql_media_features(48, 64),
         "q17_minhash_near_dups": _sql_minhash_near_dups(16, 4, 3, 200, 0.5),
         "q43_winnow_pairs": _sql_winnow_pairs(4, 4, 200, 2),
         "q44_code_features": _sql_code_line_features(_AUG_CODE_SQL),

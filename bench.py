@@ -122,6 +122,7 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
         "q01_term_frequencies", "q05_bm25_top50", "q09_dedup_exact",
         "q10_minhash_signatures", "q11_language_id", "q12_quality_features",
         "q14_fingerprint", "q15_ann_cosine_top10", "q17_minhash_near_dups",
+        "q20_media_features",
         "q28_pagerank", "q29_event_windows", "q30_event_sessions",
         "q31_dedup_clusters", "q32_pii_redaction", "q33_stratified_sample",
         "q34_token_shards", "q35_repetition_features", "q36_contamination",

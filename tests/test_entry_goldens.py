@@ -26,10 +26,9 @@ SF_DIR = "/root/testdata/sf0.01"
 GOLDEN = {
     "q19_bm25_stemmed_top50":
         ("4b33e1c0bf1570cfdaebac41d3a9d65cb28e52f9e947d7b3f374adf0a5f5ddd4", 50),
-    "q20_media_image_features":
-        ("091a88e232dacec22a3a7f339526c31c111065b971fdedccfe879a4e83065bed", 16),
-    "q21_media_frame_sample":
-        ("79120017fb102c26241de35c53009f4e00f8b4a9a5e647c1b8453d669cfcf97e", 383),
+    # q20/q21 goldens retired in round 3: merged into q20_media_features,
+    # which gained a full DuckDB oracle (the synthesis rules are
+    # SQL-replayable, so the decoded features are recomputed end-to-end).
     # q23 re-pinned after the round-2 switch to the documents-derived
     # import corpus (it now ALSO has a DuckDB SQL oracle; the golden stays
     # as double coverage).

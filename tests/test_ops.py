@@ -251,11 +251,95 @@ def test_multimodal_plumbing(spark):
     assert stats == {"image": 8, "audio": 8, "video": 8}
 
 
-def test_real_decode_raises_not_implemented(spark):
-    media = MM.synth_media_df(spark, 3)
-    with pytest.raises(Exception) as ei:
-        MM.image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
+def test_multimodal_real_decode_roundtrip(spark):
+    """fake=False REALLY decodes the PNG/BMP payloads: decoded dims and
+    exact-moment mean/std must equal the values computed straight from
+    the pixel synthesis rule (the same check the q20 DuckDB oracle does)."""
+    import math
+
+    media = MM.synth_media_df(spark, 24)
+    feats = {r["sample_id"]: r for r in MM.image_features(media).collect()}
+    assert len(feats) == 8
+    for i, r in feats.items():
+        w, h = 32 + (i % 8) * 16, 32 + (i % 4) * 16
+        assert (r["width"], r["height"]) == (w, h)
+        px = MM._img_pixels(i, w, h).astype("int64")
+        nch = 1 if i % 6 == 0 else 3
+        n = px.size * nch
+        s = int(px.sum()) * nch
+        s2 = int((px * px).sum()) * nch
+        assert r["mean_intensity"] == s / n
+        assert r["std_intensity"] == math.sqrt(s2 / n - (s / n) * (s / n))
+    # frame digests: sha256 over the hex of the real payload slice
+    import hashlib
+
+    frames = MM.media_frame_sample(media).collect()
+    by_key = {(r["sample_id"], r["frame_idx"]): r["frame_digest"] for r in frames}
+    for i in (1, 2, 7):
+        payload = MM._av_payload(i)
+        assert (
+            by_key[(i, 0)]
+            == hashlib.sha256(payload[:64].hex().encode()).hexdigest()[:16]
+        )
+
+
+def test_image_codec_roundtrips_and_filters():
+    """PNG gray/RGB + BMP roundtrips, plus unfilter paths (Sub/Up/Avg/
+    Paeth) via hand-filtered streams, without a SparkSession."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = MM._img_pixels(6, 144, 48)
+    assert np.array_equal(MM.png_decode(MM.png_encode_gray(px)), px)
+    rgb = np.repeat(MM._img_pixels(3, 33, 7)[:, :, None], 3, axis=2)
+    assert np.array_equal(MM.bmp_decode(MM.bmp_encode_rgb(rgb)), rgb)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    src = MM._img_pixels(11, 21, 9).astype(np.int64)
+    h, w = src.shape
+    for ftype in (1, 2, 3, 4):
+        raw = bytearray()
+        prev = np.zeros(w, np.int64)
+        for y in range(h):
+            line = src[y]
+            filt = np.zeros(w, np.int64)
+            for x in range(w):
+                left = line[x - 1] if x > 0 else 0
+                ul = prev[x - 1] if x > 0 else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 2:
+                    pred = prev[x]
+                elif ftype == 3:
+                    pred = (left + prev[x]) // 2
+                else:
+                    pred = MM._paeth(int(left), int(prev[x]), int(ul))
+                filt[x] = (line[x] - pred) % 256
+            raw += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+            prev = line
+        buf = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(MM.png_decode(buf), src.astype(np.uint8)), ftype
+
+
+def test_codec_boundaries_raise():
+    """The declared stubs: non-PNG/BMP image bytes and compressed AV
+    codecs raise NotImplementedError instead of guessing."""
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_bytes(b"\xff\xd8\xff\xe0JFIF-ish")
+    with pytest.raises(NotImplementedError):
+        MM.media_frame_sample(None, codec="h264")
 
 
 def test_connected_components_chain_and_islands(spark):
