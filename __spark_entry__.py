@@ -1733,6 +1733,159 @@ FROM labels GROUP BY component
 """
 
 
+def _sql_esc(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _fixture_corpus_values(n_docs: int, cols=("repo", "path", "commit", "content")) -> str:
+    """The F1 fixture corpus as a VALUES literal.  corpus_rows is pure
+    Python (no Spark) and deterministic for (n_docs, seed), so embedding
+    it gives DuckDB the IDENTICAL input rows the Spark query indexes —
+    the shared-input analog of both engines reading the same parquet;
+    everything computed FROM the rows (tokenize, ids, stats, BM25,
+    phrase, upsert) is recomputed independently in SQL."""
+    from web_based_search_engine_spark.fixtures import corpus_rows
+
+    idx = {"repo": 0, "path": 1, "commit": 2, "lang": 3, "content": 4}
+    sel = [idx[c] for c in cols]
+    return ",\n".join(
+        "(" + ", ".join(f"'{_sql_esc(r[j])}'" for j in sel) + ")"
+        for r in corpus_rows(n_docs)
+    )
+
+
+def _fixture_stem_case(n_docs: int) -> str:
+    """CASE mapping every distinct raw token of the fixture corpus (path
+    AND content fields) through the engine's full analysis — the q19
+    _stem_case_expr technique applied to the fixture vocabulary."""
+    import re
+
+    from web_based_search_engine_spark.config import TOKEN_SPLIT_REGEX
+    from web_based_search_engine_spark.fixtures import corpus_rows
+
+    split = re.compile(TOKEN_SPLIT_REGEX)
+    toks: set[str] = set()
+    for repo, path, commit, lang, content in corpus_rows(n_docs):
+        for field in (path, content):
+            toks.update(t.lower() for t in split.split(field) if t)
+    branches = []
+    for t in sorted(toks):
+        out = analyze_text_py(t)
+        assert len(out) <= 1, (t, out)
+        branches.append(f"WHEN '{_sql_esc(t)}' THEN " + (f"'{_sql_esc(out[0])}'" if out else "NULL"))
+    return "CASE x " + " ".join(branches) + " ELSE x END"
+
+
+def _sql_full_engine_phrase(n_docs: int = 300, query: str = 'searching "engines retrieval" posting',
+                            k: int = 50, k1: float = 1.2, b: float = 0.75,
+                            tw: float = 0.9) -> str:
+    """DuckDB twin of the FULL stored-index query path (q26): fixture
+    corpus (VALUES) -> dense doc ids over (repo,path,commit) order ->
+    full analysis (tokenize + stopword/stem CASE) of path (title) and
+    content (body) -> BM25 (0.9/0.1 field weighting) over the query's
+    deduped keywords -> within-field adjacency filter for the quoted
+    phrase BEFORE the top-k cut -> (doc_id, repo, path, score) top-50
+    with the (score desc, doc_id asc) tiebreak."""
+    from web_based_search_engine_spark.plans.query import parse_query
+
+    pq = parse_query(query)
+    terms_vals = ", ".join(f"('{t}')" for t in pq.keywords)
+    ph = pq.phrase
+    assert len(ph) == 2, "oracle is written for a 2-term phrase"
+    stem_case = _fixture_stem_case(n_docs)
+    corpus_vals = _fixture_corpus_values(n_docs)
+    split = "[^a-z0-9_-]+"
+    return f"""
+WITH corpus(repo, path, commit, content) AS (VALUES
+{corpus_vals}
+),
+d AS (
+  SELECT row_number() OVER (ORDER BY repo, path, commit) AS doc_id,
+         repo, path, commit, content
+  FROM corpus
+),
+raw AS (
+  SELECT doc_id, 0 AS field,
+         list_filter(regexp_split_to_array(lower(path), '{split}'), x -> x <> '') AS t
+  FROM d
+  UNION ALL
+  SELECT doc_id, 1,
+         list_filter(regexp_split_to_array(lower(content), '{split}'), x -> x <> '')
+  FROM d
+),
+tok0 AS (
+  SELECT doc_id, field, unnest(t) AS x, generate_subscripts(t, 1) AS idx
+  FROM raw
+),
+tok AS (
+  SELECT doc_id, field, {stem_case} AS term, idx FROM tok0
+),
+u AS (
+  SELECT doc_id, field, term,
+         row_number() OVER (PARTITION BY doc_id, field ORDER BY idx) - 1 AS pos
+  FROM tok WHERE term IS NOT NULL
+),
+lens AS (
+  SELECT d.doc_id, count(u.term)::BIGINT AS len_d
+  FROM d LEFT JOIN u ON d.doc_id = u.doc_id
+  GROUP BY d.doc_id
+),
+stats AS (SELECT count(*) AS n, avg(len_d) AS avgdl FROM lens),
+q(term) AS (VALUES {terms_vals}),
+tf AS (
+  SELECT u.doc_id, u.term,
+         sum(CASE WHEN u.field = 0 THEN 1 ELSE 0 END) AS title_tf,
+         sum(CASE WHEN u.field = 1 THEN 1 ELSE 0 END) AS body_tf
+  FROM u JOIN q ON u.term = q.term
+  GROUP BY u.doc_id, u.term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+partials AS (
+  SELECT tf.doc_id,
+    ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      * ({k1} + 1.0) * ({tw} * title_tf + {1 - tw:.1f} * body_tf)
+      / (({tw} * title_tf + {1 - tw:.1f} * body_tf)
+         + {k1} * (1 - {b} + {b} * lens.len_d / s.avgdl)) AS p
+  FROM tf
+  CROSS JOIN stats s
+  JOIN dfreq USING (term)
+  JOIN lens ON tf.doc_id = lens.doc_id
+),
+scored AS (SELECT doc_id, sum(p) AS score FROM partials GROUP BY doc_id),
+phrase_docs AS (
+  SELECT DISTINCT a.doc_id
+  FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.field = b.field
+                    AND b.pos = a.pos + 1
+  WHERE a.term = '{ph[0]}' AND b.term = '{ph[1]}'
+)
+SELECT s.doc_id::BIGINT AS doc_id, d.repo, d.path, round(s.score, 6) AS score
+FROM scored s
+JOIN phrase_docs USING (doc_id)
+JOIN d USING (doc_id)
+ORDER BY s.score DESC, s.doc_id
+LIMIT {k}
+"""
+
+
+def _sql_incremental_upsert(n_docs: int = 200) -> str:
+    """DuckDB twin of q27: replay the strictly-newer upsert semantics on
+    the changed rows — every doc whose path contains '_0.' must end with
+    sha256(content || ' updated') in the stored docs table."""
+    from web_based_search_engine_spark.fixtures import corpus_rows
+
+    vals = ",\n".join(
+        f"('{_sql_esc(r)}', '{_sql_esc(p)}', '{_sql_esc(c)}')"
+        for (r, p, cm, lg, c) in corpus_rows(n_docs)
+        if "_0." in p
+    )
+    return f"""
+WITH corpus(repo, path, content) AS (VALUES
+{vals}
+)
+SELECT repo, path, sha256(content || ' updated') AS sha256 FROM corpus
+"""
+
+
 def _sql_media_features(n: int = 48, frame_bytes: int = 64) -> str:
     """DuckDB twin of _q_media_features — recomputes the DECODED outputs
     from the synthesis rules alone (functions/multimodal.py): pixel(x,y) =
@@ -2036,6 +2189,8 @@ FROM sh
 """,
         "q16_simhash": _sql_simhash(),
         "q20_media_features": _sql_media_features(48, 64),
+        "q26_full_engine_phrase": _sql_full_engine_phrase(300),
+        "q27_incremental_upsert": _sql_incremental_upsert(200),
         "q17_minhash_near_dups": _sql_minhash_near_dups(16, 4, 3, 200, 0.5),
         "q43_winnow_pairs": _sql_winnow_pairs(4, 4, 200, 2),
         "q44_code_features": _sql_code_line_features(_AUG_CODE_SQL),
