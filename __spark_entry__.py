@@ -686,11 +686,27 @@ def _q_unigram_lm(spark, sf_dir):
 
 
 def _q_datacard(spark, sf_dir):
-    """Per-source dataset-card rollup: corpus mass, exact-dup load,
-    language spread, mean heuristic quality — one groupBy(source)."""
+    """Per-source dataset-card rollup (corpus mass, exact-dup load,
+    language spread, mean heuristic quality — one groupBy(source)) PLUS
+    the corpus-global LSH recall accounting (VERDICT r2 #7): the q17
+    near-dup pass's bucket-cap truncation counts ride every row, so a
+    datacard release states its dedup recall loss instead of hiding it.
+    One extra 1-row aggregate, broadcast onto the rollup."""
     from web_based_search_engine_spark.functions.curation import corpus_datacard
 
-    return corpus_datacard(_docs(spark, sf_dir), "source", "text", lang_col="lang")
+    docs = _docs(spark, sf_dir)
+    card = corpus_datacard(docs, "source", "text", lang_col="lang")
+    sigs = D.minhash_signatures(
+        docs.select("doc_id", _raw_tokens_col().alias("toks")),
+        "doc_id", "toks", num_hashes=16, shingle_k=3,
+    )
+    recall = D.lsh_bucket_stats(sigs, "doc_id", num_hashes=16, bands=4,
+                                max_bucket_size=200).select(
+        F.col("n_buckets").cast("long").alias("lsh_buckets"),
+        F.col("n_truncated_buckets").cast("long").alias("lsh_truncated_buckets"),
+        F.col("n_docs_dropped").cast("long").alias("lsh_docs_dropped"),
+    )
+    return card.crossJoin(F.broadcast(recall))
 
 
 def _aug_code_text():
@@ -1545,15 +1561,49 @@ FROM documents d LEFT JOIN p USING (doc_id)
 """
 
 
-def _sql_datacard() -> str:
+def _sql_datacard(num_hashes: int = 16, bands: int = 4, k: int = 3,
+                  cap: int = 200) -> str:
     """ANSI-SQL twin of curation.corpus_datacard over (source, text, lang):
     per-doc quality is q12's composite (rounded to 6dp BEFORE the group
-    mean, mirroring quality_col)."""
+    mean, mirroring quality_col).  Round 3 adds the corpus-global LSH
+    recall-accounting scalars (same md5-window MinHash + banding as the
+    q17 oracle, but over ALL buckets — singleton buckets count too, as in
+    D.lsh_bucket_stats)."""
     from web_based_search_engine_spark.functions.textstats import LANG_MARKERS
 
     stops = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    rpb = num_hashes // bands
+    mh_cols = ",\n  ".join(
+        f"list_min(list_transform(sh, s -> substring(md5('{i // 4}:' || s),"
+        f" {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5({})".format(" || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)))
+        for b in range(bands)
+    )
     return f"""
-WITH pre AS (
+WITH dsh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - {k} + 2),
+                             i -> array_to_string(t[i:i+{k - 1}], ' ')) END AS sh
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+dsigs AS (SELECT doc_id, {mh_cols} FROM dsh),
+dbanded AS (
+  SELECT doc_id, band, band_key
+  FROM (SELECT doc_id, [{band_keys}] AS bks FROM dsigs),
+       LATERAL (SELECT unnest(bks) AS band_key, generate_subscripts(bks, 1) - 1 AS band)
+),
+dsizes AS (SELECT band, band_key, count(*) AS n FROM dbanded GROUP BY 1, 2),
+drecall AS (
+  SELECT count(*)::BIGINT AS lsh_buckets,
+         coalesce(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END), 0)::BIGINT AS lsh_truncated_buckets,
+         coalesce(sum(greatest(n - {cap}, 0)), 0)::BIGINT AS lsh_docs_dropped
+  FROM dsizes
+),
+pre AS (
   SELECT source AS grp, lang, coalesce(text, '') AS raw,
          {_TOKS} AS t, md5(coalesce(text, '')) AS fp
   FROM documents
@@ -1574,7 +1624,10 @@ SELECT grp AS source,
        count(DISTINCT fp)::BIGINT AS distinct_texts,
        (count(*) - count(DISTINCT fp))::BIGINT AS dup_docs,
        count(DISTINCT lang)::BIGINT AS n_langs,
-       round(avg(quality), 6) AS mean_quality
+       round(avg(quality), 6) AS mean_quality,
+       (SELECT lsh_buckets FROM drecall) AS lsh_buckets,
+       (SELECT lsh_truncated_buckets FROM drecall) AS lsh_truncated_buckets,
+       (SELECT lsh_docs_dropped FROM drecall) AS lsh_docs_dropped
 FROM q GROUP BY grp
 """
 
