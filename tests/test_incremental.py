@@ -328,3 +328,76 @@ def test_upsert_layout_pinned_to_stored_index(spark, tmp_path):
     qe = QueryEngine(spark, storage, mode="columnar")
     assert qe.search("gamma", assemble=False).count() == 1
     assert qe.search("alpha", assemble=False).count() == 1
+
+
+def test_upsert_norm_free_docs_is_partition_granular(spark, tmp_path):
+    """VERDICT r2 #8: with IndexConfig(reference_norms=False) the docs
+    table has no global-statistics column, so the upsert's docs stage is
+    delta-sized — untouched dbuckets are hard-linked byte-identical — and
+    BM25 results still equal a fresh norm-free build; the reference
+    scorer raises instead of dividing by a missing norm."""
+    import os
+
+    import pytest as _pytest
+
+    cfg = IndexConfig(
+        num_term_buckets=4, num_doc_buckets=8, block_size=8,
+        reference_norms=False,
+    )
+    rows = [
+        ("r/a", f"a{i:03d}.py", "c1", "py",
+         f"alpha{i % 7} bravo{i % 5} charlie{i % 3} delta echo")
+        for i in range(40)
+    ]
+    rows += [
+        ("r/b", "chg0.py", "c1", "py", "zulu yankee xray"),
+        ("r/b", "chg1.py", "c1", "py", "zulu victor whiskey"),
+    ]
+    storage = ParquetIndexStorage(tmp_path / "idx_nf")
+    IndexBuilder(spark, storage, cfg).build(_mini_corpus(spark, rows))
+    assert "doc_norm" not in storage.read_table(spark, "docs").columns
+    v1_docs_path = storage.table_meta("docs")["path"]
+
+    new_rows = list(rows[:40]) + [
+        ("r/b", "chg0.py", "c2", "py", "zulu yankee xray UPDATED"),
+        ("r/b", "chg1.py", "c2", "py", "zulu victor november"),
+    ]
+    rep = incremental_update(spark, storage, _mini_corpus(spark, new_rows), cfg)
+    assert rep.stages_run
+
+    meta = storage.table_meta("docs")
+    assert meta["reused_partitions"] >= 1  # the delta path ran
+    rewritten = set(meta["rewritten_partitions"])
+    n_checked = 0
+    for sub in sorted(os.listdir(meta["path"])):
+        if not sub.startswith("dbucket=") or sub.split("=")[1] in rewritten:
+            continue
+        assert _hash_dir(os.path.join(v1_docs_path, sub)) == _hash_dir(
+            os.path.join(meta["path"], sub)
+        ), sub
+        n_checked += 1
+    assert n_checked >= 1
+
+    # BM25 equivalence against a fresh norm-free build of the merged corpus
+    fresh = ParquetIndexStorage(tmp_path / "idx_nf_fresh")
+    IndexBuilder(spark, fresh, cfg).build(_mini_corpus(spark, new_rows))
+
+    def by_key(st, q):
+        qe = QueryEngine(spark, st, mode="blocks")
+        out = qe.search(q, assemble=False)
+        docs = st.read_table(spark, "docs").select("doc_id", "repo", "path")
+        return {
+            (r["repo"], r["path"]): round(r["score"], 9)
+            for r in out.join(docs, "doc_id").collect()
+        }
+
+    for q in ("zulu", "november", "yankee xray", "echo"):
+        assert by_key(storage, q) == by_key(fresh, q), q
+
+    # reference scorer refuses a norm-free index with a clear error
+    from web_based_search_engine_spark.config import ScoringConfig
+
+    qr = QueryEngine(spark, storage, ScoringConfig(scorer="reference"),
+                     mode="columnar")
+    with _pytest.raises(RuntimeError, match="reference_norms"):
+        qr.search("zulu", assemble=False).collect()

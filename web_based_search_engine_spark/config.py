@@ -72,6 +72,13 @@ class IndexConfig:
     # applyInPandas encode groups per storage bucket: decouples encoder
     # parallelism from the (small) bucket count — tasks = buckets * this
     encode_salt: int = 16
+    # Precompute the reference scorer's cosine norm ||d|| into the docs
+    # table.  BM25-only deployments set False: the norm is the one docs
+    # column that depends on EVERY term's global df (+ N), which is what
+    # forces the incremental upsert's docs stage corpus-wide; without it
+    # the docs upsert is partition-granular like every other table
+    # (streaming/incremental.py).  The reference scorer then raises.
+    reference_norms: bool = True
     analysis: AnalysisConfig = field(default_factory=AnalysisConfig.full)
 
 

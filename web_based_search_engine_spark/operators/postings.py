@@ -249,17 +249,30 @@ def encode_postings(merged: DataFrame, vocab: DataFrame, cfg: IndexConfig) -> Da
 
 
 def build_docs(
-    corpus_tok: DataFrame, postings: DataFrame, vocab: DataFrame, n_docs: int
+    corpus_tok: DataFrame, postings: DataFrame, vocab: DataFrame, n_docs: int,
+    with_norms: bool = True,
 ) -> DataFrame:
     """Doc table with tf_max (InvertedIndex.java:38-54) and the reference
     cosine norm ||d|| = sqrt(Σ_t ((titleTF+bodyTF)·idf_t / tfMax_d)²) —
     UNWEIGHTED tf in the norm, the deliberate numerator/denominator
     asymmetry of InvertedIndex.java:69-95.  Precomputed at build time (the
     reference recomputed it per query per candidate — SURVEY §4.1
-    anti-pattern)."""
+    anti-pattern).
+
+    ``with_norms=False`` (IndexConfig.reference_norms) omits the doc_norm
+    column and its postings⋈vocab pass entirely — BM25 needs only
+    len_d = title_len + body_len; the docs table then has no
+    global-statistics column, which is what lets the incremental upsert
+    keep the docs stage delta-sized."""
     tf_max = postings.groupBy("doc_id").agg(
         F.max(F.col("title_tf") + F.col("body_tf")).cast("int").alias("tf_max")
     )
+    if not with_norms:
+        return (
+            corpus_tok.drop("title_terms", "body_terms", "refs", "module")
+            .join(tf_max, "doc_id", "left")
+            .fillna({"tf_max": 0})
+        )
     # no forced broadcast: at code-corpus scale the vocabulary (identifiers)
     # can be 10^8+ terms; AQE picks broadcast automatically when it fits
     norms = (

@@ -117,6 +117,12 @@ def score_query_terms(
     cand = cand.join(F.broadcast(df_map), "term_id")
 
     if cfg.scorer == "reference":
+        if "doc_norm" not in docs.columns:
+            raise RuntimeError(
+                "reference scorer needs the precomputed doc_norm column; "
+                "this index was built with IndexConfig(reference_norms=False) "
+                "(BM25-only) — rebuild with reference_norms=True"
+            )
         cand = cand.join(docs.select("doc_id", "tf_max", "doc_norm"), "doc_id")
         partial = reference_term_score(n_docs, cfg)
         scored = (

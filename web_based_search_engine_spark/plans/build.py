@@ -172,6 +172,7 @@ class IndexBuilder:
                 lambda: P.build_docs(
                     self._read("corpus_tok"), self._read("postings"),
                     self._read("vocab"), n_docs,
+                    with_norms=cfg.reference_norms,
                 ),
                 partition_by=["dbucket"],
             )

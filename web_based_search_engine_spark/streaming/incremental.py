@@ -29,11 +29,15 @@ then addDocument, PostingIndex.java:40-43,93-115) at PARTITION granularity:
 
 Cost model (documented honestly): work is proportional to the size of the
 touched term buckets + changed dbuckets — the standard segment-rewrite
-cost, NOT the corpus.  Two deliberate exceptions: (a) ``docs`` and
-``stats`` are recomputed corpus-wide because the reference cosine norm
+cost, NOT the corpus.  Two deliberate exceptions: (a) with a
+reference-norms index (IndexConfig.reference_norms=True, the default)
+``docs`` is recomputed corpus-wide because the reference cosine norm
 ``||d||`` depends on every term's global df and on N (the reference dodged
 this by recomputing norms per query, SURVEY §4.1 anti-pattern) — docs is
-the narrowest table (~0.1% of index bytes at scale); (b) ``links`` is
+the narrowest table (~0.1% of index bytes at scale); a BM25-only index
+(reference_norms=False) has no doc_norm column and its docs stage is
+partition-granular like every other table, leaving only the 1-row
+narrow-scan ``stats`` aggregate corpus-wide; (b) ``links`` is
 recomputed from the stored refs/module columns (a ref-sized join, no
 re-tokenization).  The stale ``postings_raw`` intermediate is dropped from
 the checkpoint so a later resume-build cannot consume it.
@@ -359,12 +363,43 @@ def _partition_granular_upsert(
             blocks_part, "blocks", ["bucket"], touched_buckets, stage="blocks",
         )
 
-        # ---- docs + stats: corpus-wide refresh (norms need global df/N) --
-        n_docs = int(storage.table_meta("corpus_tok")["rows"])
-        docs_new = P.build_docs(
-            tok_new, post_new, storage.read_table(spark, "vocab"), n_docs
-        )
-        storage.write_table(docs_new, "docs", partition_by=["dbucket"], stage="docs")
+        # ---- docs + stats ------------------------------------------------
+        # The docs schema itself decides the path: with a stored doc_norm
+        # column (reference_norms build) the cosine norm depends on EVERY
+        # term's global df + N, so docs refreshes corpus-wide (documented
+        # exception (a) above).  A norm-free index (BM25-only,
+        # IndexConfig.reference_norms=False) has no global-statistics
+        # column in docs — unchanged docs' rows cannot change (stable ids,
+        # tf_max is per-doc), so the stage is partition-granular like
+        # every other table: rewrite only the changed dbuckets, hard-link
+        # the rest.
+        if "doc_norm" in docs_old.columns:
+            n_docs = int(storage.table_meta("corpus_tok")["rows"])
+            docs_new = P.build_docs(
+                tok_new, post_new, storage.read_table(spark, "vocab"), n_docs
+            )
+            storage.write_table(docs_new, "docs", partition_by=["dbucket"], stage="docs")
+        else:
+            fresh_tfmax = fresh_post.groupBy("doc_id").agg(
+                F.max(F.col("title_tf") + F.col("body_tf")).cast("int").alias("tf_max")
+            )
+            dcols = docs_old.columns
+            docs_keep = (
+                docs_old.where(F.col("dbucket").isin(changed_dbuckets))
+                .join(fresh_doc_ids, "doc_id", "left_anti")
+            )
+            docs_fresh = (
+                fresh_tok.drop("title_terms", "body_terms", "refs", "module")
+                .join(fresh_tfmax, "doc_id", "left")
+                .fillna({"tf_max": 0})
+            )
+            storage.write_table_partitions(
+                docs_keep.select(*dcols).unionByName(docs_fresh.select(*dcols)),
+                "docs", ["dbucket"], changed_dbuckets, stage="docs",
+            )
+        # stats stays a corpus-wide 1-row aggregate over NARROW columns
+        # (exact N/avgdl need every doc's lengths; this is a column-pruned
+        # scan, not a postings-sized recompute)
         storage.write_table(
             P.build_stats(storage.read_table(spark, "docs"), cfg), "stats", stage="stats"
         )
