@@ -339,6 +339,26 @@ def simhash_candidate_pairs(fingerprints: DataFrame, id_col: str,
     )
 
 
+def cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE min-label propagation round (the loop body of
+    connected_components, exposed so its per-iteration physical plan can
+    be audited): edges ⋈ labels on the dst side, map-side-combined
+    min-aggregate per src, left-join back onto labels.  Exactly one
+    data-sized shuffle; ``_changed`` feeds the 1-row convergence count."""
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.doc_id)
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("component").alias("_nmin"))
+    )
+    return labels.join(neighbor_min, "doc_id", "left").select(
+        "doc_id",
+        F.least(
+            F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+        ).alias("component"),
+        (F.col("_nmin") < F.col("component")).alias("_changed"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -383,21 +403,7 @@ def connected_components(
     )
     changed = 0
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("component").alias("_nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
-                ).alias("component"),
-                (F.col("_nmin") < F.col("component")).alias("_changed"),
-            )
-        ).localCheckpoint()
+        updated = cc_round(edges, labels).localCheckpoint()
         changed = updated.where(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if changed == 0:
