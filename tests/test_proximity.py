@@ -216,3 +216,32 @@ def test_phrase_and_near_result_cache(spark, built_index):
     qe.search('"engines retrieval"', assemble=False).collect()
     assert len(qe._phrase_cache) == 2
     assert ("p", "search", "engin") not in qe._phrase_cache
+
+
+def test_proximity_two_pass_equals_single_pass(spark, built_index, monkeypatch):
+    """Forced two-pass proximity (shared survivor prune with phrase) must
+    return identical (doc_id, min_window) sets to the single-pass plan."""
+    from web_based_search_engine_spark.operators import phrase as PH
+    from web_based_search_engine_spark.plans.query import QueryEngine
+
+    qe = QueryEngine(spark, built_index["storage"], mode="blocks")
+    cases = [(["foo_bar", "hello-world"], 12), (["search", "engin"], 6),
+             (["search", "engin", "retriev"], 25)]
+    for terms, window in cases:
+        rows = qe._lookup_cached(terms)
+        if len(rows) < len(set(terms)):
+            continue
+        single = {
+            (r["doc_id"], r["min_window"])
+            for r in PH.proximity_windows(None, qe.vocab, terms, window,
+                                          term_rows=rows, blocks=qe.blocks).collect()
+        }
+        monkeypatch.setattr(PH, "TWO_PASS_MIN_POSTINGS", 0)
+        monkeypatch.setattr(PH, "TWO_PASS_ABS_POSTINGS", 0)
+        two = {
+            (r["doc_id"], r["min_window"])
+            for r in PH.proximity_windows(None, qe.vocab, terms, window,
+                                          term_rows=rows, blocks=qe.blocks).collect()
+        }
+        monkeypatch.undo()
+        assert two == single, terms

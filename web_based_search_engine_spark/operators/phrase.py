@@ -169,15 +169,35 @@ def _phrase_doc_ids_blocks(
     if len(phrase_terms) == 1:
         return B.decode_blocks(_term_blocks(blocks, by_term[uniq[0]])).select("doc_id")
 
+    if len(uniq) == 1 or not _want_two_pass(uniq, by_term):
+        pos_by_term = {t: _term_postings_from_blocks(blocks, by_term[t]) for t in uniq}
+        return _adjacency_fold(phrase_terms, pos_by_term)
+
+    pos_by_term = _pruned_positions_by_term(blocks, uniq, by_term)
+    if pos_by_term is None:
+        return empty
+    return _adjacency_fold(phrase_terms, pos_by_term)
+
+
+def _want_two_pass(uniq: list[str], by_term: dict[str, dict]) -> bool:
     dfs = [int(by_term[t]["df"]) for t in uniq]
     total_df = sum(dfs)
-    two_pass = total_df >= TWO_PASS_MIN_POSTINGS and (
+    return total_df >= TWO_PASS_MIN_POSTINGS and (
         total_df >= TWO_PASS_ABS_POSTINGS
         or min(dfs) * TWO_PASS_ASYMMETRY < total_df
     )
-    if len(uniq) == 1 or not two_pass:
-        pos_by_term = {t: _term_postings_from_blocks(blocks, by_term[t]) for t in uniq}
-        return _adjacency_fold(phrase_terms, pos_by_term)
+
+
+def _pruned_positions_by_term(
+    blocks: DataFrame, uniq: list[str], by_term: dict[str, dict]
+) -> dict[str, DataFrame] | None:
+    """Two-pass survivor-pruned positional decode, shared by phrase and
+    proximity (both require EVERY query term present in a doc, so the
+    doc-set intersection is the same pass-1).  Returns None when the
+    intersection is empty (caller returns its empty frame), else
+    {term: DataFrame(doc_id, title_pos, body_pos)} where positions were
+    decoded ONLY for blocks holding a surviving doc."""
+    from . import blocks as B
 
     # ---- pass 1: doc-id-only decode + intersection (rarest term first so
     # the join chain shrinks earliest; each term's block provenance rides
@@ -189,12 +209,12 @@ def _phrase_doc_ids_blocks(
             _term_blocks(blocks, by_term[t]), with_block_ids=True
         ).select("doc_id", F.col("block_id").alias(col_of[t]))
         ids = d if ids is None else ids.join(d, "doc_id")
-    # survivors are small (docs containing EVERY phrase term); materialize
+    # survivors are small (docs containing EVERY query term); materialize
     # once — pass 2 reads them |uniq|+1 times
     survivors = ids.localCheckpoint(eager=True)
     n_surv = survivors.count()  # cheap: counts the checkpointed partitions
     if n_surv == 0:
-        return empty
+        return None
     maybe_bcast = F.broadcast if n_surv <= _BROADCAST_SURVIVOR_CAP else (lambda df: df)
 
     # ---- pass 2: positions only for blocks holding a surviving doc
@@ -209,7 +229,7 @@ def _phrase_doc_ids_blocks(
             .join(maybe_bcast(survivors.select("doc_id")), "doc_id", "left_semi")
             .select("doc_id", "title_pos", "body_pos")
         )
-    return _adjacency_fold(phrase_terms, pos_by_term)
+    return pos_by_term
 
 
 _BIG_SPAN = 1 << 30
@@ -289,8 +309,19 @@ def proximity_windows(
     if any(t not in by_term for t in uniq):
         return empty
 
+    # proximity has the same all-terms-present requirement as phrase, so
+    # the two-pass survivor prune applies verbatim (blocks mode, same
+    # df-based crossover): positions decode only for surviving blocks
+    pruned: dict[str, DataFrame] | None = None
+    if blocks is not None and len(uniq) > 1 and _want_two_pass(uniq, by_term):
+        pruned = _pruned_positions_by_term(blocks, uniq, by_term)
+        if pruned is None:
+            return empty
+
     def term_df(term: str, i: int) -> DataFrame:
-        if blocks is not None:
+        if pruned is not None:
+            d = pruned[term]
+        elif blocks is not None:
             d = _term_postings_from_blocks(blocks, by_term[term])
         else:
             d = _term_postings(postings, by_term[term])
