@@ -86,6 +86,20 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
     build_sec = min(build_trials)
     results["build_index"] = round(build_sec, 3)
 
+    # North-rule build variant: the BASELINE.json engine is BM25 — it needs
+    # doc lengths + df, NOT the reference-formula cosine norm (the one docs
+    # column depending on every term's global df).  reference_norms=False
+    # drops that postings⋈vocab pass; recorded separately so the headline
+    # build_index stays comparable with rounds 1-2 (which always built the
+    # parity norm).
+    cfg_bm25 = IndexConfig(
+        num_term_buckets=8, block_size=128, salt_buckets=8, reference_norms=False
+    )
+    storage_bm25 = ParquetIndexStorage(os.path.join(workdir, "idx_bm25"))
+    t0 = time.time()
+    IndexBuilder(spark, storage_bm25, cfg_bm25).build(corpus, resume=False)
+    results["build_index_bm25only"] = round(time.time() - t0, 3)
+
     search_queries = {
         "search_hot_term": "foo_bar",
         "search_multi": "merge_sort searching engines retrieval",
