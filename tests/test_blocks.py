@@ -143,3 +143,25 @@ def test_blocks_metadata_consistent(spark, built_index):
         # > 0 (min field weight 0.1), and a doc with a posting has >= 1 term
         assert r["max_wtf"] > 0
         assert r["min_len_d"] >= 1
+
+
+def test_decoder_block_id_provenance():
+    """with_block_ids repeats each block's id onto exactly its own rows:
+    regrouping the decoded rows by block_id must reproduce every block's
+    count, first and last doc id."""
+    import pyarrow as pa
+
+    for seed in (3, 42):
+        enc = B.encode_group_pdf(_fuzz_group_pdf(seed), block_size=8)
+        tbl = pa.Table.from_pandas(enc, preserve_index=False)
+        got = B.decode_blocks_arrow(tbl, with_block_ids=True).to_pandas()
+        assert "block_id" in got.columns
+        for (tid, bid), g in got.groupby(["term_id", "block_id"]):
+            row = enc[(enc["term_id"] == tid) & (enc["block_id"] == bid)].iloc[0]
+            assert len(g) == row["count"], (seed, tid, bid)
+            assert g["doc_id"].iloc[0] == row["first_doc_id"]
+            assert g["doc_id"].iloc[-1] == row["last_doc_id"]
+        # base columns unchanged by the provenance option
+        plain = B.decode_blocks_arrow(tbl).to_pandas()
+        for col in ("term_id", "doc_id", "title_tf", "body_tf"):
+            assert got[col].tolist() == plain[col].tolist(), (seed, col)
