@@ -92,13 +92,21 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
     # drops that postings⋈vocab pass; recorded separately so the headline
     # build_index stays comparable with rounds 1-2 (which always built the
     # parity norm).
+    # (min-of-2 like the parity build — single readings are weather on this
+    # host.  At local[32] the wall saving is small because docs/stats
+    # already overlap the helper-thread blocks/forward stages; the
+    # norm-free win is the delta-sized docs UPSERT, pinned in
+    # tests/test_incremental.py.)
     cfg_bm25 = IndexConfig(
         num_term_buckets=8, block_size=128, salt_buckets=8, reference_norms=False
     )
-    storage_bm25 = ParquetIndexStorage(os.path.join(workdir, "idx_bm25"))
-    t0 = time.time()
-    IndexBuilder(spark, storage_bm25, cfg_bm25).build(corpus, resume=False)
-    results["build_index_bm25only"] = round(time.time() - t0, 3)
+    bm25_trials = []
+    for i in range(reps_build):
+        storage_bm25 = ParquetIndexStorage(os.path.join(workdir, f"idx_bm25_{i}"))
+        t0 = time.time()
+        IndexBuilder(spark, storage_bm25, cfg_bm25).build(corpus, resume=False)
+        bm25_trials.append(time.time() - t0)
+    results["build_index_bm25only"] = round(min(bm25_trials), 3)
 
     search_queries = {
         "search_hot_term": "foo_bar",
@@ -115,7 +123,11 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
             # one untimed warmup per shape: the first execution of a plan
             # shape pays whole-stage codegen + parquet footer reads that a
             # serving process amortizes across its lifetime — p50/p95 here
-            # are steady-state serving latency, not JIT warmup
+            # are steady-state serving latency, not JIT warmup.  For the
+            # phrase shape the warmup also populates the engine's LRU
+            # filter-set cache (plans/query.py), so timed reps measure the
+            # repeated-query path — the dominant production case for hot
+            # phrases; the cold path is the warmup run itself.
             qe.search(q, assemble=False).collect()
             per_q: list[float] = []
             for _ in range(reps):
