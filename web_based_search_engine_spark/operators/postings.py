@@ -285,23 +285,23 @@ def build_docs(
             / F.col("tf_max"),
         )
         .groupBy("doc_id")
-        # fold the squares in term_id order instead of F.sum: float addition
-        # is non-associative, so a partition-order-dependent sum makes
-        # doc_norm differ by ULPs across shuffle widths — the build must be
-        # bit-identical regardless of parallelism (resume/upsert byte-
-        # identity and the invariance test depend on it).  Per-doc distinct
-        # terms are bounded by doc vocabulary, so the collect_list is small.
+        # sum the squares in DECIMAL(38,18): decimal addition is exact, so
+        # the sum is order-independent and the build stays bit-identical
+        # regardless of parallelism (resume/upsert byte-identity and the
+        # invariance test depend on it) — float addition is non-associative
+        # and would drift by ULPs across shuffle widths.  Unlike the
+        # previous sorted collect_list fold, a plain sum is partial-
+        # aggregable: the shuffle carries one row per doc instead of every
+        # (doc, term) square (the round-2 fold disabled map-side combine
+        # for the build's second-largest stage).  Truncation at 1e-18 per
+        # term is ~1e-15 relative on the norm — far inside every
+        # conformance tolerance (goldens 1e-10, oracle rtol 1e-9).
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("term_id", (F.col("_w") * F.col("_w")).alias("w2")))
-            ).alias("_ws")
+            F.sum(
+                (F.col("_w") * F.col("_w")).cast("decimal(38,18)")
+            ).alias("_s2")
         )
-        .select(
-            "doc_id",
-            F.sqrt(
-                F.aggregate("_ws", F.lit(0.0), lambda a, x: a + x["w2"])
-            ).alias("doc_norm"),
-        )
+        .select("doc_id", F.sqrt(F.col("_s2").cast("double")).alias("doc_norm"))
     )
     return (
         corpus_tok.drop("title_terms", "body_terms", "refs", "module")
