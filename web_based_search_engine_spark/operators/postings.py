@@ -264,49 +264,51 @@ def build_docs(
     len_d = title_len + body_len; the docs table then has no
     global-statistics column, which is what lets the incremental upsert
     keep the docs stage delta-sized."""
-    tf_max = postings.groupBy("doc_id").agg(
-        F.max(F.col("title_tf") + F.col("body_tf")).cast("int").alias("tf_max")
-    )
     if not with_norms:
+        tf_max = postings.groupBy("doc_id").agg(
+            F.max(F.col("title_tf") + F.col("body_tf")).cast("int").alias("tf_max")
+        )
         return (
             corpus_tok.drop("title_terms", "body_terms", "refs", "module")
             .join(tf_max, "doc_id", "left")
             .fillna({"tf_max": 0})
         )
+    # tf_max factors out of the norm (w = tf·idf/tf_max is per-doc-constant
+    # in the denominator): ||d|| = sqrt(Σ (tf·idf)²) / tf_max — so ONE
+    # postings pass computes both per-doc stats in a single partial->final
+    # aggregate, instead of a tf_max agg + a second postings⋈tf_max join.
+    #
+    # The squares sum in DECIMAL(38,18): decimal addition is exact, so the
+    # sum is order-independent and the build stays bit-identical regardless
+    # of parallelism (resume/upsert byte-identity and the invariance test
+    # depend on it) — float addition is non-associative and would drift by
+    # ULPs across shuffle widths.  Unlike the round-2 sorted collect_list
+    # fold, a plain sum is partial-aggregable: the shuffle carries one row
+    # per doc per map partition instead of every (doc, term) square.
+    # Truncation at 1e-18 per term is ~1e-15 relative on the norm — far
+    # inside every conformance tolerance (goldens 1e-10, oracle rtol 1e-9).
+    #
     # no forced broadcast: at code-corpus scale the vocabulary (identifiers)
     # can be 10^8+ terms; AQE picks broadcast automatically when it fits
-    norms = (
+    w_raw = (F.col("title_tf") + F.col("body_tf")) * F.log10(
+        F.lit(float(n_docs)) / F.col("df")
+    )
+    per_doc = (
         postings.join(vocab.select("term_id", "df"), "term_id")
-        .join(tf_max, "doc_id")
-        .withColumn(
-            "_w",
-            (F.col("title_tf") + F.col("body_tf"))
-            * F.log10(F.lit(float(n_docs)) / F.col("df"))
-            / F.col("tf_max"),
-        )
         .groupBy("doc_id")
-        # sum the squares in DECIMAL(38,18): decimal addition is exact, so
-        # the sum is order-independent and the build stays bit-identical
-        # regardless of parallelism (resume/upsert byte-identity and the
-        # invariance test depend on it) — float addition is non-associative
-        # and would drift by ULPs across shuffle widths.  Unlike the
-        # previous sorted collect_list fold, a plain sum is partial-
-        # aggregable: the shuffle carries one row per doc instead of every
-        # (doc, term) square (the round-2 fold disabled map-side combine
-        # for the build's second-largest stage).  Truncation at 1e-18 per
-        # term is ~1e-15 relative on the norm — far inside every
-        # conformance tolerance (goldens 1e-10, oracle rtol 1e-9).
         .agg(
-            F.sum(
-                (F.col("_w") * F.col("_w")).cast("decimal(38,18)")
-            ).alias("_s2")
+            F.max(F.col("title_tf") + F.col("body_tf")).cast("int").alias("tf_max"),
+            F.sum((w_raw * w_raw).cast("decimal(38,18)")).alias("_s2raw"),
         )
-        .select("doc_id", F.sqrt(F.col("_s2").cast("double")).alias("doc_norm"))
+        .select(
+            "doc_id",
+            "tf_max",
+            (F.sqrt(F.col("_s2raw").cast("double")) / F.col("tf_max")).alias("doc_norm"),
+        )
     )
     return (
         corpus_tok.drop("title_terms", "body_terms", "refs", "module")
-        .join(tf_max, "doc_id", "left")
-        .join(norms, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .fillna({"tf_max": 0, "doc_norm": 0.0})
     )
 
