@@ -1041,12 +1041,29 @@ FROM feat
 """
 
 
-def _sql_minhash(num_hashes: int = 4, k: int = 3) -> str:
-    mh_cols = ",\n  ".join(
+def _sql_mh_cols(num_hashes: int) -> str:
+    """mh_0..mh_{n-1} select-list: the md5-window MinHash family of
+    dedup.minhash_signatures — ONE generator shared by every oracle that
+    describes LSH buckets, so they cannot drift apart (the datacard's
+    recall accounting must describe the SAME buckets as q17)."""
+    return ",\n  ".join(
         f"list_min(list_transform(sh, s -> substring(md5('{i // 4}:' || s),"
         f" {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
         for i in range(num_hashes)
     )
+
+
+def _sql_band_keys(num_hashes: int, bands: int) -> str:
+    """Band-key list literal matching dedup._banded."""
+    rpb = num_hashes // bands
+    return ", ".join(
+        "md5({})".format(" || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)))
+        for b in range(bands)
+    )
+
+
+def _sql_minhash(num_hashes: int = 4, k: int = 3) -> str:
+    mh_cols = _sql_mh_cols(num_hashes)
     return f"""
 {_TOKS_CTE},
 sh AS (
@@ -1067,16 +1084,8 @@ def _sql_minhash_near_dups(num_hashes: int = 16, bands: int = 4, k: int = 3,
     """ANSI-SQL twin of D.minhash_near_duplicates: md5 MinHash signatures ->
     banded LSH buckets (sorted, capped at ``cap``) -> all-pairs within
     bucket -> exact shingle Jaccard verify."""
-    rpb = num_hashes // bands
-    mh_cols = ",\n  ".join(
-        f"list_min(list_transform(sh, s -> substring(md5('{i // 4}:' || s),"
-        f" {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
-        for i in range(num_hashes)
-    )
-    band_keys = ", ".join(
-        "md5({})".format(" || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)))
-        for b in range(bands)
-    )
+    mh_cols = _sql_mh_cols(num_hashes)
+    band_keys = _sql_band_keys(num_hashes, bands)
     return f"""
 {_TOKS_CTE},
 sh AS (
@@ -1433,16 +1442,8 @@ def _sql_streaming_novelty(num_hashes: int = 16, bands: int = 4, k: int = 3,
     md5 MinHash signatures + band keys as _sql_minhash_near_dups, with the
     bucket leader = first row by (batch, doc_id) — batch 0 is doc_id <
     split, mirroring the driver's landed-file order."""
-    rpb = num_hashes // bands
-    mh_cols = ",\n  ".join(
-        f"list_min(list_transform(sh, s -> substring(md5('{i // 4}:' || s),"
-        f" {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
-        for i in range(num_hashes)
-    )
-    band_keys = ", ".join(
-        "md5({})".format(" || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)))
-        for b in range(bands)
-    )
+    mh_cols = _sql_mh_cols(num_hashes)
+    band_keys = _sql_band_keys(num_hashes, bands)
     return f"""
 {_TOKS_CTE},
 sh AS (
@@ -1572,16 +1573,8 @@ def _sql_datacard(num_hashes: int = 16, bands: int = 4, k: int = 3,
     from web_based_search_engine_spark.functions.textstats import LANG_MARKERS
 
     stops = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
-    rpb = num_hashes // bands
-    mh_cols = ",\n  ".join(
-        f"list_min(list_transform(sh, s -> substring(md5('{i // 4}:' || s),"
-        f" {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
-        for i in range(num_hashes)
-    )
-    band_keys = ", ".join(
-        "md5({})".format(" || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)))
-        for b in range(bands)
-    )
+    mh_cols = _sql_mh_cols(num_hashes)
+    band_keys = _sql_band_keys(num_hashes, bands)
     return f"""
 WITH dsh AS (
   SELECT doc_id,
@@ -1671,6 +1664,11 @@ def _stem_case_expr() -> str:
 def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75,
               tw: float = 0.9, stem_case: str | None = None) -> str:
     vals = ", ".join(f"('{t}')" for t in terms)
+    # exact binary doubles for the field weights: `1 - tw` in float64 is
+    # 0.09999999999999998 for tw=0.9 — formatting it "%.1f" would emit the
+    # wrong coefficient for any non-default tw (round-3 review finding)
+    twl = f"CAST('{tw!r}' AS DOUBLE)"
+    bwl = f"CAST('{(1.0 - tw)!r}' AS DOUBLE)"
     raw_tt = "list_filter(regexp_split_to_array(lower(source), '[^a-z0-9_-]+'), x -> x <> '')"
     raw_bt = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_-]+'), x -> x <> '')"
     if stem_case is not None:
@@ -1697,8 +1695,8 @@ dfreq AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
 partials AS (
   SELECT tf2.doc_id,
     ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-      * ({k1} + 1.0) * ({tw} * title_tf + {1 - tw:.1f} * body_tf)
-      / (({tw} * title_tf + {1 - tw:.1f} * body_tf)
+      * ({k1} + 1.0) * ({twl} * title_tf + {bwl} * body_tf)
+      / (({twl} * title_tf + {bwl} * body_tf)
          + {k1} * (1 - {b} + {b} * lens.len_d / s.avgdl)) AS p
   FROM tf2
   CROSS JOIN stats s
@@ -1848,6 +1846,8 @@ def _sql_full_engine_phrase(n_docs: int = 300, query: str = 'searching "engines 
     stem_case = _fixture_stem_case(n_docs)
     corpus_vals = _fixture_corpus_values(n_docs)
     split = "[^a-z0-9_-]+"
+    twl = f"CAST('{tw!r}' AS DOUBLE)"
+    bwl = f"CAST('{(1.0 - tw)!r}' AS DOUBLE)"
     return f"""
 WITH corpus(repo, path, commit, content) AS (VALUES
 {corpus_vals}
@@ -1896,8 +1896,8 @@ dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 partials AS (
   SELECT tf.doc_id,
     ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-      * ({k1} + 1.0) * ({tw} * title_tf + {1 - tw:.1f} * body_tf)
-      / (({tw} * title_tf + {1 - tw:.1f} * body_tf)
+      * ({k1} + 1.0) * ({twl} * title_tf + {bwl} * body_tf)
+      / (({twl} * title_tf + {bwl} * body_tf)
          + {k1} * (1 - {b} + {b} * lens.len_d / s.avgdl)) AS p
   FROM tf
   CROSS JOIN stats s

@@ -245,7 +245,7 @@ def test_multimodal_plumbing(spark):
     # deterministic across runs
     feats2 = MM.image_features(MM.synth_media_df(spark, 24), fake=True).collect()
     assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
-    frames = MM.audio_frame_sample(media).collect()
+    frames = MM.media_frame_sample(media).collect()
     assert len(frames) > 0
     stats = {r["modality"]: r["n"] for r in MM.media_size_stats(media).collect()}
     assert stats == {"image": 8, "audio": 8, "video": 8}

@@ -245,3 +245,19 @@ def test_proximity_two_pass_equals_single_pass(spark, built_index, monkeypatch):
         }
         monkeypatch.undo()
         assert two == single, terms
+
+
+def test_k_zero_with_forced_wand_prune(spark, built_index):
+    """Round-3 review finding: k=0 must return 0 rows on the PRUNE path
+    too (previously the seed pass's `kth[-1]` would IndexError)."""
+    from web_based_search_engine_spark.config import ScoringConfig
+    from web_based_search_engine_spark.operators import wand as W
+    from web_based_search_engine_spark.plans.query import QueryEngine
+
+    qe = QueryEngine(spark, built_index["storage"], mode="blocks")
+    out = W.wand_top_k(
+        qe.blocks, qe.docs, qe.vocab, ["search", "engin"],
+        qe.n_docs, qe.avg_doc_len, ScoringConfig(scorer="bm25"),
+        prune=True, k=0,
+    )
+    assert out.count() == 0

@@ -364,14 +364,6 @@ def media_frame_sample(
     return media.mapInPandas(batches, out_schema)
 
 
-def audio_frame_sample(media: DataFrame, frame_ms: int = 100,
-                       fake: bool = True) -> DataFrame:
-    """Back-compat alias of the round-2 surface: duration-based framing is
-    superseded by byte framing (``media_frame_sample``), which this
-    delegates to — one frame per ``frame_bytes`` of real payload."""
-    return media_frame_sample(media)
-
-
 def media_size_stats(media: DataFrame) -> DataFrame:
     """Pure-Catalyst metadata pass: payload sizes per modality (pushdown
     column pruning means the binary column is read but metadata filters

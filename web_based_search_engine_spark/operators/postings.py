@@ -293,24 +293,59 @@ def build_docs(
     w_raw = (F.col("title_tf") + F.col("body_tf")) * F.log10(
         F.lit(float(n_docs)) / F.col("df")
     )
+    w2 = (w_raw * w_raw).cast("decimal(38,18)")
     per_doc = (
         postings.join(vocab.select("term_id", "df"), "term_id")
         .groupBy("doc_id")
         .agg(
             F.max(F.col("title_tf") + F.col("body_tf")).cast("int").alias("tf_max"),
-            F.sum((w_raw * w_raw).cast("decimal(38,18)")).alias("_s2raw"),
+            F.sum(w2).alias("_s2raw"),
+            # decimal(38,18) caps a single square at 1e20 (tf*idf < 1e10 —
+            # any real document is orders of magnitude inside it); a cast
+            # overflow becomes NULL, and F.sum would SILENTLY skip it, so
+            # count overflows in the same aggregate and poison the norm to
+            # NULL — the builder's post-stage validation then fails LOUDLY
+            # (the connected_components never-silently-partial posture)
+            F.sum(
+                F.when(w2.isNull() & w_raw.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("_n_overflow"),
         )
         .select(
             "doc_id",
             "tf_max",
-            (F.sqrt(F.col("_s2raw").cast("double")) / F.col("tf_max")).alias("doc_norm"),
+            F.when(
+                F.col("_n_overflow") == 0,
+                F.sqrt(F.col("_s2raw").cast("double")) / F.col("tf_max"),
+            ).alias("doc_norm"),
         )
     )
     return (
         corpus_tok.drop("title_terms", "body_terms", "refs", "module")
         .join(per_doc, "doc_id", "left")
-        .fillna({"tf_max": 0, "doc_norm": 0.0})
+        .fillna({"tf_max": 0})
+        # docs with NO postings get norm 0.0 (empty doc); docs whose norm
+        # overflowed keep NULL for validate_docs_norms to catch
+        .withColumn(
+            "doc_norm",
+            F.when(F.col("tf_max") == 0, F.lit(0.0)).otherwise(F.col("doc_norm")),
+        )
     )
+
+
+def validate_docs_norms(docs: DataFrame) -> None:
+    """Raise if any doc with postings has a NULL cosine norm — the loud
+    failure mode for a decimal-overflow term weight (build_docs); one
+    narrow column-pruned scan."""
+    if "doc_norm" not in docs.columns:
+        return
+    bad = docs.where(F.col("doc_norm").isNull() & (F.col("tf_max") > 0)).count()
+    if bad:
+        raise RuntimeError(
+            f"build_docs: {bad} doc(s) overflowed the decimal(38,18) norm "
+            "accumulator (a term with tf*idf >= 1e10 — a degenerate "
+            "repeated-token blob); filter such documents out or build with "
+            "IndexConfig(reference_norms=False)"
+        )
 
 
 def build_stats(docs: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:

@@ -125,6 +125,10 @@ def wand_top_k(
     cfg = cfg or ScoringConfig()
     k = cfg.top_k if k is None else k  # explicit k=0 means 0 rows, not default
     assert cfg.scorer == "bm25", "WAND upper bounds require the additive BM25 scorer"
+    if k <= 0:
+        # short-circuit BEFORE the prune path: with k=0 the seed pass
+        # collects an empty list and `kth[-1]` below would IndexError
+        return blocks.sparkSession.createDataFrame([], "doc_id long, score double")
     if persist_registry:
         # previous query's pruned block set: by now either materialized
         # (its result was collected) or abandoned — release it before

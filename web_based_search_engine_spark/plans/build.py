@@ -176,6 +176,8 @@ class IndexBuilder:
                 ),
                 partition_by=["dbucket"],
             )
+            if "docs" in run and cfg.reference_norms:
+                P.validate_docs_norms(self._read("docs"))
             do("stats", lambda: P.build_stats(self._read("docs"), cfg))
             links_f.result()
             forward_f.result()

@@ -379,6 +379,7 @@ def _partition_granular_upsert(
                 tok_new, post_new, storage.read_table(spark, "vocab"), n_docs
             )
             storage.write_table(docs_new, "docs", partition_by=["dbucket"], stage="docs")
+            P.validate_docs_norms(storage.read_table(spark, "docs"))
         else:
             fresh_tfmax = fresh_post.groupBy("doc_id").agg(
                 F.max(F.col("title_tf") + F.col("body_tf")).cast("int").alias("tf_max")
