@@ -259,13 +259,28 @@ def main() -> None:
     ).join(out_deg, "doc_id")
     n = nodes.count()
     ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    # static (AQE-off) plan: the only place exchange reuse is visible as a
+    # plan node — under AQE the 1-row dangling total compiles to its own
+    # sub-execution over the checkpointed rank state (links.pagerank doc)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pr_plan = plan_of(L.pagerank_iteration(nodes, adj, ranks, n, 0.85))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in pr_plan, (
+        "pagerank iteration must reuse the contribution shuffle between "
+        "the node join and the 1-row dangling-mass total (static planner)"
+    )
     sections.append((
-        "PageRank: single power iteration (q28 runs 10, "
-        "localCheckpoint-truncated so planning stays O(1) per round)",
-        "One data-sized shuffle per iteration: adj ⋈ ranks on doc_id then "
-        "partial->final HashAggregate on dst; the dangling-mass aggregate "
-        "enters as a broadcast of a 1-row frame (no collect in the loop).",
-        plan_of(L.pagerank_iteration(nodes, adj, out_deg, ranks, n, 0.85)),
+        "PageRank: single power iteration, static plan (q28 runs 10, "
+        "localCheckpoint-truncated per round)",
+        "One data-sized shuffle per iteration and ONE data-sized join of "
+        "the rank state: adj ⋈ ranks on doc_id then partial->final "
+        "HashAggregate on dst; dangling mass = 1 - sum(contrib) over the "
+        "SAME shuffled relation (ReusedExchange below), broadcast back as "
+        "a 1-row frame — no collect in the loop, and no second anti-join "
+        "pass over ranks (the pre-round-3 shape).",
+        pr_plan,
     ))
 
     # --- connected components: one propagation ROUND (q31 runs to fixpoint,

@@ -162,29 +162,47 @@ def pagerank(
     n_iter: int = 10,
     src: str = "src_doc_id",
     dst: str = "dst_doc_id",
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """PageRank over an edge table by damped power iteration (the natural
     companion of the parent/child link index, LinkIndexer.java:12-25 — the
     reference stores the web graph but never ranks it; this closes that gap
     the way a web-scale deployment would).
 
-    Spark-first shape, per iteration exactly ONE data-sized shuffle:
+    Spark-first shape, per iteration exactly ONE data-sized shuffle and ONE
+    scan of ``ranks``:
       - ``adj`` = edges pre-joined with out-degree ONCE before the loop and
         persisted — the loop never re-aggregates degrees.
       - contribution pass: ``adj ⋈ ranks`` on src (both sides hash-partition
-        on the same key; AQE keeps the exchange reused), then
-        ``groupBy(dst).sum`` with map-side partial aggregation.
-      - dangling mass (docs with no out-links, e.g. leaf pages) is a 1-row
-        aggregate CROSS-JOINED back as a broadcast literal — NO driver
-        ``collect`` inside the loop, the whole iteration is one job.
-      - each iteration ends with an EAGER ``localCheckpoint`` — persist
-        alone caches data but does NOT truncate the logical plan, and with
-        two references to ``ranks`` per iteration the analyzed plan doubles
-        every round (2^n_iter nodes by iteration n: Catalyst re-analysis,
-        not the data, becomes the bottleneck).  Checkpointing keeps both
-        lineage and planning O(1) per iteration.  On a long-lived cluster
-        job prefer reliable ``checkpoint()`` (localCheckpoint state dies
-        with an executor); same contract.
+        on the same key), then ``groupBy(dst).sum`` with map-side partial
+        aggregation.
+      - dangling mass (docs with no out-links, e.g. leaf pages) is derived
+        from the rank-conservation invariant instead of re-scanned: every
+        non-dangling node's rank reaches the contribution sums intact
+        (out_degree × rank/out_degree), and total rank is exactly 1 at
+        every iteration (the update redistributes it), so
+        ``dangling = 1 − Σ contrib`` — a 1-row aggregate over the SAME
+        shuffled contribution relation the join consumes (Spark's exchange
+        reuse computes that shuffle once), CROSS-JOINED back as a broadcast
+        literal.  This replaces the previous ``ranks ⋉̸ out_deg`` anti-join
+        — at 10^12 nodes that was a second full pass over the rank state
+        per iteration; now the rank state is scanned exactly once.  FP
+        drift of the derived mass vs an explicit dangling sum is ~1e-15
+        per iteration — both the DuckDB oracle comparison and the pytest
+        goldens round at 1e-6.
+      - each iteration ends with an EAGER ``localCheckpoint``
+        (``checkpoint_every=1``), truncating lineage so planning stays
+        O(1) per round.  Fusing multiple iterations per checkpoint
+        (``checkpoint_every>1``) was measured SLOWER under AQE (sf0.1,
+        local[8], 10 iters: cadence 1 = 3.0 s, 3 = 5.4 s, 5 = 15 s):
+        AQE compiles each 1-row dangling broadcast as an independent
+        sub-execution that re-computes the un-checkpointed window, i.e.
+        2^cadence recompute.  With AQE off the static planner dedupes the
+        contribution exchange (ReusedExchange — pinned in EXPLAIN.md) and
+        fusing is sound, but the engine runs builds/batch ops under AQE,
+        so the measured default stands.  On a long-lived cluster job
+        prefer reliable ``checkpoint()`` (localCheckpoint state dies with
+        an executor); same contract.
 
     Scale: state per iteration is |V| narrow rows + the edge scan; at 10^12
     edges the shuffle key is dst doc_id (well-distributed by construction
@@ -206,7 +224,7 @@ def pagerank(
         return edges.sparkSession.createDataFrame([], "doc_id long, rank double")
     out_deg = edges.groupBy(F.col(src).alias("doc_id")).agg(
         F.count("*").alias("out_degree")
-    ).persist()
+    )
     adj = (
         edges.select(F.col(src).alias("doc_id"), F.col(dst).alias("dst_id"))
         .join(out_deg, "doc_id")
@@ -214,29 +232,41 @@ def pagerank(
     )
     adj.count()
     ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
-    for _ in range(n_iter):
-        new_ranks = pagerank_iteration(
-            nodes, adj, out_deg, ranks, n, damping
-        ).localCheckpoint()  # eager: materializes AND truncates lineage
-        ranks.unpersist()
+    anchor = ranks  # last checkpointed frame — the fused window's data root
+    for i in range(n_iter):
+        new_ranks = pagerank_iteration(nodes, adj, ranks, n, damping)
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            # eager: materializes the fused window AND truncates lineage;
+            # only now is the previous anchor's cached state releasable
+            new_ranks = new_ranks.localCheckpoint()
+            anchor.unpersist()
+            anchor = new_ranks
         ranks = new_ranks
     nodes.unpersist()
     adj.unpersist()
-    out_deg.unpersist()
     return ranks
 
 
 def pagerank_iteration(
     nodes: DataFrame,
     adj: DataFrame,
-    out_deg: DataFrame,
     ranks: DataFrame,
     n: int,
     damping: float,
 ) -> DataFrame:
     """One un-checkpointed power-iteration frame (exposed so plan tooling
     can EXPLAIN the per-iteration dataflow — ``pagerank``'s return value is
-    checkpoint-truncated and would show only the cache scan)."""
+    checkpoint-truncated and would show only the cache scan).
+
+    ``ranks`` feeds exactly one data-sized join (adj ⋈ ranks); dangling
+    mass is ``1 − Σ contrib`` over the same post-shuffle contribution
+    relation the node join consumes — replacing the previous
+    ``ranks ⋉̸ out_deg`` anti-join, which was a second full pass over the
+    rank state per iteration.  With AQE off the static planner dedupes the
+    contribution shuffle (one ``Exchange`` + one ``ReusedExchange`` —
+    tools/explain_plans.py pins this); under AQE the 1-row total runs as
+    its own sub-execution whose input is the checkpointed (cached) rank
+    state, one cheap re-pass."""
     contrib = (
         adj.join(ranks, "doc_id")
         .select(
@@ -246,9 +276,11 @@ def pagerank_iteration(
         .groupBy("doc_id")
         .agg(F.sum("c").alias("contrib"))
     )
-    dangling = (
-        ranks.join(out_deg, "doc_id", "left_anti")
-        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+    # rank conservation: Σ ranks ≡ 1 every iteration and each non-dangling
+    # node's rank survives the contribution fan-out intact, so the mass
+    # parked on dangling nodes is exactly 1 minus the delivered total
+    dangling = contrib.agg(
+        (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dangling")
     )
     return (
         nodes.join(contrib, "doc_id", "left")
