@@ -32,6 +32,8 @@ case "${1:-bench}" in
     spark-submit --master "$MASTER" "${EXTRA[@]}" --py-files "$ZIP" bench.py "$@" ;;
   *)
     # cli passthrough: submit.sh build --corpus ... --index ...
+    # (bench/submit_cli.py, not cli.py itself: spark-submit's primary file
+    # runs packageless, which would break cli.py's relative imports)
     spark-submit --master "$MASTER" "${EXTRA[@]}" --py-files "$ZIP" \
-      web_based_search_engine_spark/cli.py "$@" ;;
+      bench/submit_cli.py "$@" ;;
 esac

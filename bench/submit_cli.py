@@ -1,0 +1,13 @@
+"""spark-submit main for the CLI.
+
+spark-submit runs its primary file as a top-level script (no package
+parent), which breaks ``web_based_search_engine_spark/cli.py``'s relative
+imports — so the launcher submits THIS file and imports the CLI as a
+package module from the ``--py-files`` zip (or the working tree)."""
+
+import sys
+
+from web_based_search_engine_spark.cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
