@@ -210,3 +210,25 @@ def test_pagerank_matches_reference_power_iteration(spark):
     for v in nodes:
         assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_no_dangling_cycle_and_knob_validation(spark):
+    """Round-3 review findings: (a) with zero dangling nodes the derived
+    dangling mass (1 - sum(contrib)) must clamp at 0 so no rank lands
+    below the (1-d)/n teleport floor; (b) checkpoint_every < 1 must raise
+    before any cluster work."""
+    import pytest
+
+    from web_based_search_engine_spark.operators.links import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src_doc_id long, dst_doc_id long"
+    )
+    got = {r["doc_id"]: r["rank"] for r in pagerank(edges, 0.85, n_iter=10).collect()}
+    floor = (1 - 0.85) / 3
+    assert all(v >= floor - 1e-15 for v in got.values())
+    # symmetric 3-cycle: exact uniform fixpoint
+    for v in got.values():
+        assert abs(v - 1.0 / 3.0) < 1e-12
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(edges, checkpoint_every=0)

@@ -212,6 +212,8 @@ def pagerank(
     Returns (doc_id, rank): every node reachable from the edge table, ranks
     summing to ~1 (dangling mass redistributed uniformly).
     """
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     nodes = (
         edges.select(F.col(src).alias("doc_id"))
         .unionByName(edges.select(F.col(dst).alias("doc_id")))
@@ -278,9 +280,15 @@ def pagerank_iteration(
     )
     # rank conservation: Σ ranks ≡ 1 every iteration and each non-dangling
     # node's rank survives the contribution fan-out intact, so the mass
-    # parked on dangling nodes is exactly 1 minus the delivered total
+    # parked on dangling nodes is exactly 1 minus the delivered total.
+    # Clamped at 0: with no dangling nodes, FP cancellation can leave the
+    # difference at -O(|E|·eps) — the explicit dangling sum this derivation
+    # replaces is never negative, so the clamp only moves us toward it
     dangling = contrib.agg(
-        (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dangling")
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0)),
+        ).alias("dangling")
     )
     return (
         nodes.join(contrib, "doc_id", "left")
