@@ -232,3 +232,25 @@ def test_pagerank_no_dangling_cycle_and_knob_validation(spark):
         assert abs(v - 1.0 / 3.0) < 1e-12
     with pytest.raises(ValueError, match="checkpoint_every"):
         pagerank(edges, checkpoint_every=0)
+
+
+def test_links_frame_needs_no_distinct(spark):
+    """The edge join's output is already a set: refs are array_distinct per
+    source and each target has exactly one module name, so dropping the
+    former .distinct() pass (a full edge-wide shuffle) must not change the
+    row MULTISET — pinned here so a future refs-extraction change that
+    introduces duplicates fails loudly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_based_search_engine_spark import fixtures
+    from web_based_search_engine_spark.operators.links import links_frame
+
+    corpus = fixtures.corpus_df(spark, 500)
+    ids = corpus.withColumn(
+        "doc_id", F.row_number().over(Window.orderBy("repo", "path", "commit"))
+    )
+    edges = links_frame(ids.select("doc_id", "path", "content")).persist()
+    assert edges.count() == edges.distinct().count()
+    assert edges.count() > 0
+    edges.unpersist()

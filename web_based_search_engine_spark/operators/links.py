@@ -65,6 +65,14 @@ def links_frame(corpus_with_ids: DataFrame) -> DataFrame:
     Resolution: ref == module(path) of the target doc, corpus-wide.  A ref
     matching k target docs yields k edges (ambiguous module names are real
     in big code corpora).  Distinct edges, self-loops dropped.
+
+    Edge uniqueness needs NO distinct pass: refs are ``array_distinct`` per
+    source doc and every target doc has exactly one module name, so each
+    (src, dst) pair can arise from at most one (src, ref) row — the join
+    output is already a set (given unique ``doc_id``, the builder's
+    invariant).  An explicit ``.distinct()`` here was a redundant
+    edge-table-wide shuffle — at 10^12 files the single largest avoidable
+    cost of the links stage.
     """
     refs = extract_refs(
         corpus_with_ids.select("doc_id", "content")
@@ -76,14 +84,15 @@ def links_frame(corpus_with_ids: DataFrame) -> DataFrame:
         refs.join(targets, "ref")
         .where(F.col("src_doc_id") != F.col("dst_doc_id"))
         .select("src_doc_id", "dst_doc_id")
-        .distinct()
     )
 
 
 def links_from_corpus_tok(corpus_tok: DataFrame) -> DataFrame:
     """Edge table from a corpus_tok frame that already carries ``refs`` and
     ``module`` (extracted at tokenize time, postings.with_doc_ids) — no
-    second scan of raw content."""
+    second scan of raw content.  No distinct pass: the stored ``refs``
+    column is array_distinct per doc and ``module`` is one value per
+    target, so join output pairs are already unique (links_frame note)."""
     refs = corpus_tok.select(
         F.col("doc_id").alias("src_doc_id"), F.explode("refs").alias("ref")
     )
@@ -94,7 +103,6 @@ def links_from_corpus_tok(corpus_tok: DataFrame) -> DataFrame:
         refs.join(targets, "ref")
         .where(F.col("src_doc_id") != F.col("dst_doc_id"))
         .select("src_doc_id", "dst_doc_id")
-        .distinct()
     )
 
 
