@@ -254,3 +254,49 @@ def test_links_frame_needs_no_distinct(spark):
     assert edges.count() == edges.distinct().count()
     assert edges.count() > 0
     edges.unpersist()
+
+
+def test_links_fanout_cap_and_stats(spark):
+    """max_targets_per_module keeps the cap lowest dst ids per module
+    (deterministic min-id tiebreak) and module_fanout_stats surfaces
+    exactly what the cap drops."""
+    import pytest
+
+    from web_based_search_engine_spark.operators.links import (
+        links_frame,
+        links_from_corpus_tok,
+        module_fanout_stats,
+    )
+
+    # 3 docs all named util.py (ambiguous module), one referencing doc
+    rows = [
+        (1, "a/util.py", "pass"),
+        (2, "b/util.py", "pass"),
+        (3, "c/util.py", "pass"),
+        (4, "d/main.py", "import util"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, path string, content string")
+    exact = {(r["src_doc_id"], r["dst_doc_id"])
+             for r in links_frame(corpus).collect()}
+    assert exact == {(4, 1), (4, 2), (4, 3)}
+    capped = {(r["src_doc_id"], r["dst_doc_id"])
+              for r in links_frame(corpus, max_targets_per_module=2).collect()}
+    assert capped == {(4, 1), (4, 2)}  # lowest dst ids survive
+
+    # corpus_tok variant + stats
+    tok = corpus.selectExpr(
+        "doc_id",
+        "case when doc_id = 4 then array('util') else array() end as refs",
+        "regexp_extract(path, '([^/]+?)(\\\\.[A-Za-z0-9]+)?$', 1) as module",
+    )
+    capped2 = {(r["src_doc_id"], r["dst_doc_id"])
+               for r in links_from_corpus_tok(tok, 1).collect()}
+    assert capped2 == {(4, 1)}
+    st = module_fanout_stats(tok, cap=2).collect()[0]
+    assert st["n_modules"] == 2  # util, main
+    assert st["n_ambiguous_modules"] == 1
+    assert st["max_fanout"] == 3
+    assert st["n_targets_dropped"] == 1  # util has 3 targets, cap 2
+
+    with pytest.raises(ValueError, match="max_targets_per_module"):
+        links_frame(corpus, max_targets_per_module=0).collect()

@@ -79,6 +79,13 @@ class IndexConfig:
     # the docs upsert is partition-granular like every other table
     # (streaming/incremental.py).  The reference scorer then raises.
     reference_norms: bool = True
+    # Cap on link-graph targets per module name (operators/links.py):
+    # None = exact resolution (every ambiguous match becomes an edge — the
+    # oracle-matched semantics, right up to ~10^8 files).  At 10^12 files
+    # set a cap (e.g. 1000): one corpus-popular module name otherwise
+    # yields a quadratic edge blowup.  Truncation must be surfaced via
+    # links.module_fanout_stats in the build report/datacard.
+    links_max_targets_per_module: int | None = None
     analysis: AnalysisConfig = field(default_factory=AnalysisConfig.full)
 
 

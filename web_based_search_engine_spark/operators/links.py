@@ -59,7 +59,9 @@ def extract_refs(corpus: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
-def links_frame(corpus_with_ids: DataFrame) -> DataFrame:
+def links_frame(
+    corpus_with_ids: DataFrame, max_targets_per_module: int | None = None
+) -> DataFrame:
     """(doc_id, path, content) -> edge table (src_doc_id, dst_doc_id).
 
     Resolution: ref == module(path) of the target doc, corpus-wide.  A ref
@@ -73,6 +75,14 @@ def links_frame(corpus_with_ids: DataFrame) -> DataFrame:
     invariant).  An explicit ``.distinct()`` here was a redundant
     edge-table-wide shuffle — at 10^12 files the single largest avoidable
     cost of the links stage.
+
+    ``max_targets_per_module`` (default None = exact, the oracle-matched
+    semantics): at 10^12 files an ambiguous module name is a QUADRATIC
+    blowup — ``utils`` defined in 10^7 files and referenced by 10^8 makes
+    10^15 edges from one key.  The cap keeps the ``cap`` lowest dst
+    doc_ids per module (deterministic min-id tiebreak, same as every
+    capped operator here) and MUST be paired with ``module_fanout_stats``
+    so the truncation is surfaced, never silent.
     """
     refs = extract_refs(
         corpus_with_ids.select("doc_id", "content")
@@ -80,6 +90,7 @@ def links_frame(corpus_with_ids: DataFrame) -> DataFrame:
     targets = corpus_with_ids.select(
         F.col("doc_id").alias("dst_doc_id"), module_name(F.col("path")).alias("ref")
     ).where(F.col("ref") != "")
+    targets = _cap_targets(targets, max_targets_per_module)
     return (
         refs.join(targets, "ref")
         .where(F.col("src_doc_id") != F.col("dst_doc_id"))
@@ -87,22 +98,69 @@ def links_frame(corpus_with_ids: DataFrame) -> DataFrame:
     )
 
 
-def links_from_corpus_tok(corpus_tok: DataFrame) -> DataFrame:
+def links_from_corpus_tok(
+    corpus_tok: DataFrame, max_targets_per_module: int | None = None
+) -> DataFrame:
     """Edge table from a corpus_tok frame that already carries ``refs`` and
     ``module`` (extracted at tokenize time, postings.with_doc_ids) — no
     second scan of raw content.  No distinct pass: the stored ``refs``
     column is array_distinct per doc and ``module`` is one value per
-    target, so join output pairs are already unique (links_frame note)."""
+    target, so join output pairs are already unique (links_frame note).
+
+    ``max_targets_per_module`` caps the join fan-out; see links_frame."""
     refs = corpus_tok.select(
         F.col("doc_id").alias("src_doc_id"), F.explode("refs").alias("ref")
     )
     targets = corpus_tok.select(
         F.col("doc_id").alias("dst_doc_id"), F.col("module").alias("ref")
     ).where(F.col("ref") != "")
+    targets = _cap_targets(targets, max_targets_per_module)
     return (
         refs.join(targets, "ref")
         .where(F.col("src_doc_id") != F.col("dst_doc_id"))
         .select("src_doc_id", "dst_doc_id")
+    )
+
+
+def _cap_targets(targets: DataFrame, cap: int | None) -> DataFrame:
+    """Deterministically keep the ``cap`` lowest dst doc_ids per module
+    name (the same min-id tiebreak every capped operator here uses).  The
+    per-module row_number is a shuffle of the NARROW module table only —
+    never of the exploded refs side."""
+    if cap is None:
+        return targets
+    if cap < 1:
+        raise ValueError(f"max_targets_per_module must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ref").orderBy("dst_doc_id")
+    return (
+        targets.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def module_fanout_stats(corpus_tok: DataFrame, cap: int) -> DataFrame:
+    """1-row accounting of what a ``max_targets_per_module=cap`` build
+    drops (the lsh_bucket_stats pattern: a cap must be SURFACED, never
+    silent): (n_modules, n_ambiguous_modules, max_fanout,
+    n_targets_dropped).  ``n_targets_dropped`` counts target docs beyond
+    the cap within their module — each dropped target removes ALL its
+    would-be in-edges for that module name."""
+    per_mod = (
+        corpus_tok.select(F.col("module").alias("ref"))
+        .where(F.col("ref") != "")
+        .groupBy("ref")
+        .agg(F.count("*").alias("n_targets"))
+    )
+    return per_mod.agg(
+        F.count("*").alias("n_modules"),
+        F.sum((F.col("n_targets") > 1).cast("long")).alias("n_ambiguous_modules"),
+        F.coalesce(F.max("n_targets"), F.lit(0)).alias("max_fanout"),
+        F.coalesce(
+            F.sum(F.greatest(F.col("n_targets") - cap, F.lit(0))), F.lit(0)
+        ).alias("n_targets_dropped"),
     )
 
 

@@ -128,7 +128,9 @@ class IndexBuilder:
         do("corpus_tok", corpus_tok_fn, partition_by=["dbucket"])
         with ThreadPoolExecutor(max_workers=3) as ex:
             links_f = ex.submit(
-                do, "links", lambda: L.links_from_corpus_tok(self._read("corpus_tok"))
+                do, "links", lambda: L.links_from_corpus_tok(
+                    self._read("corpus_tok"), cfg.links_max_targets_per_module
+                )
             )
             do("postings_raw", lambda: P.positional_postings(self._read("corpus_tok")))
             surface(links_f)

@@ -407,7 +407,8 @@ def _partition_granular_upsert(
 
         # ---- links: ref-sized recompute ----------------------------------
         storage.write_table(
-            L.links_from_corpus_tok(tok_new), "links", stage="links"
+            L.links_from_corpus_tok(tok_new, cfg.links_max_targets_per_module),
+            "links", stage="links",
         )
 
         # postings_raw is now stale: drop its checkpoint marker so a future
