@@ -300,3 +300,47 @@ def test_links_fanout_cap_and_stats(spark):
 
     with pytest.raises(ValueError, match="max_targets_per_module"):
         links_frame(corpus, max_targets_per_module=0).collect()
+
+
+def test_builder_honors_links_fanout_cap(spark, tmp_path):
+    """IndexConfig.links_max_targets_per_module must reach the build's
+    links stage (wiring test): a cap-1 build stores strictly fewer edges
+    than the exact build on a fixture with ambiguous module names, and
+    every module keeps exactly its lowest-id target."""
+    from web_based_search_engine_spark.config import IndexConfig
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+
+    base = fixtures.corpus_df(spark, 120, num_partitions=2)
+    # duplicate every path under a second repo namespace: every module
+    # name becomes ambiguous (exactly 2 targets), so cap=1 must bite
+    corpus = base.unionByName(
+        base.withColumn("repo", F.concat(F.col("repo"), F.lit("-mirror")))
+    )
+    exact_st = ParquetIndexStorage(str(tmp_path / "exact"))
+    IndexBuilder(spark, exact_st, CFG).build(corpus)
+    exact = {(r["src_doc_id"], r["dst_doc_id"])
+             for r in exact_st.read_table(spark, "links").collect()}
+
+    from dataclasses import replace
+    capped_cfg = replace(CFG, links_max_targets_per_module=1)
+    cap_st = ParquetIndexStorage(str(tmp_path / "capped"))
+    IndexBuilder(spark, cap_st, capped_cfg).build(corpus)
+    capped = {(r["src_doc_id"], r["dst_doc_id"])
+              for r in cap_st.read_table(spark, "links").collect()}
+
+    assert capped < exact  # strictly fewer on the ambiguous fixture
+    # per (src, module) the kept dst must be the minimum of exact's dsts —
+    # module identity recovered from the docs table path
+    path_of = {r["doc_id"]: r["path"]
+               for r in exact_st.read_table(spark, "docs").collect()}
+    import re
+    mod = lambda p: re.search(r"([^/]+?)(?:\.[A-Za-z0-9]+)?$", p).group(1)
+    from collections import defaultdict
+    exact_by_key, capped_by_key = defaultdict(set), defaultdict(set)
+    for s, d in exact:
+        exact_by_key[(s, mod(path_of[d]))].add(d)
+    for s, d in capped:
+        capped_by_key[(s, mod(path_of[d]))].add(d)
+    for key, dsts in capped_by_key.items():
+        assert dsts == {min(exact_by_key[key])}, key
