@@ -429,7 +429,14 @@ def dedup_clusters(
 ) -> DataFrame:
     """Full pipeline to removal units: near-dup pairs -> connected
     components -> (component, n_docs, doc_ids, keep_doc_id).  Docs in no
-    pair are implicitly their own singleton cluster (not emitted)."""
+    pair are implicitly their own singleton cluster (not emitted).
+
+    Scale note: the ``doc_ids`` array is a PRESENTATION column — one
+    pathological 10^8-doc component would make a single multi-GB row.  At
+    cluster scale, drive removal from ``connected_components``'s
+    (doc_id, component) mapping directly (drop where doc_id !=
+    min(component)) and keep only ``n_docs``/``keep_doc_id`` here; this
+    roll-up exists for the driver-contract query and small-scale audits."""
     pairs = minhash_near_duplicates(
         df, id_col, tokens_col, num_hashes, bands, shingle_k, threshold
     )
