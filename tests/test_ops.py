@@ -522,3 +522,44 @@ def test_winnow_plan_does_not_duplicate_pipeline(spark):
     with contextlib.redirect_stdout(buf):
         pairs.explain("extended")
     assert buf.getvalue().count("md5") <= 16
+
+
+def test_audio_wav_decode_real(spark):
+    """Round-3: audio decode is REAL for the container this sandbox can
+    parse — stdlib wave roundtrip (encode -> decode bit-exact), real
+    features over both WAV and headerless raw-PCM payloads, and a loud
+    NotImplementedError at the compressed-codec boundary."""
+    import numpy as np
+    import pytest
+
+    # exact PCM16 roundtrip through the RIFF container
+    t = np.arange(800, dtype=np.int64)
+    samples = ((3000 * np.sin(t / 20.0)).astype("<i2")).astype(np.int64)
+    buf = MM.wav_encode_pcm16(samples, sample_rate=8000, channels=1)
+    sr, ch, sw, got = MM.wav_decode(buf)
+    assert (sr, ch, sw) == (8000, 1, 2)
+    assert np.array_equal(got, samples)
+
+    # features over a mixed table: one WAV row + the synth raw-PCM rows
+    media = MM.synth_media_df(spark, 12)
+    wav_row = spark.createDataFrame(
+        [(100, "audio", bytearray(buf),
+          {"width": None, "height": None, "sample_rate": 8000, "duration_ms": None})],
+        MM.MEDIA_SCHEMA,
+    )
+    feats = {r["sample_id"]: r for r in
+             MM.audio_features(media.unionByName(wav_row)).collect()}
+    w = feats[100]
+    assert (w["sample_rate"], w["channels"], w["bits"]) == (8000, 1, 16)
+    assert w["n_samples"] == 800 and abs(w["duration_ms"] - 100.0) < 1e-9
+    # raw u8 synth stream: closed-form byte rule -> verifiable exact moments
+    raw_ids = [r["sample_id"] for r in media.collect() if r["modality"] == "audio"]
+    for i in raw_ids:
+        n = 256 + (i % 5) * 64
+        vals = [(131 * i + 17 * j) % 256 for j in range(n)]
+        exp_mean = sum(vals) / n
+        assert abs(feats[i]["mean_amp"] - exp_mean) < 1e-9
+        assert feats[i]["bits"] == 8 and feats[i]["n_samples"] == n
+
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        MM.wav_decode(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # mp3 frame magic

@@ -8,10 +8,13 @@ function of ``sample_id``, so a DuckDB oracle can recompute the decoded
 features without ever touching the bytes (an encode->decode roundtrip
 check).  Frame sampling slices real payload bytes (raw/PCM framing).
 
-The remaining declared stubs are exactly the codec boundaries this
-container cannot cross (no PIL/ffmpeg): JPEG & friends in
-``decode_image_bytes`` and compressed codecs in ``media_frame_sample`` —
-a real deployment plugs a decoder into the same batch interface.
+Audio decode is real too: RIFF/WAVE containers parse via stdlib ``wave``
+(``wav_decode``/``audio_features``), headerless payloads are by layout
+convention raw u8 PCM at ``meta.sample_rate``.  The remaining declared
+stubs are exactly the codec boundaries this container cannot cross (no
+PIL/ffmpeg): JPEG & friends in ``decode_image_bytes``, mp3/aac/ogg in
+``wav_decode``, and compressed codecs in ``media_frame_sample`` — a real
+deployment plugs a decoder into the same batch interface.
 
 Layout convention for a multimodal table:
     (sample_id: long, modality: string, media: binary,
@@ -182,6 +185,64 @@ def bmp_decode(buf: bytes) -> np.ndarray:
     return px[::-1] if h > 0 else px
 
 
+def wav_encode_pcm16(
+    samples: np.ndarray, sample_rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Minimal RIFF/WAVE container around little-endian PCM16 frames —
+    stdlib ``wave`` writer over BytesIO, no codec dependency."""
+    import io
+    import wave
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm)
+    return bio.getvalue()
+
+
+def wav_decode(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """REAL stdlib WAV parse -> (sample_rate, channels, sampwidth_bytes,
+    samples int64 array, interleaved).  Same posture as png_decode: the
+    container this sandbox CAN decode is decoded for real; compressed
+    audio (mp3/aac/ogg — needs ffmpeg) raises NotImplementedError."""
+    import io
+    import wave
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "wav_decode handles RIFF/WAVE PCM; compressed audio codecs "
+            "require ffmpeg bindings (absent in this container)"
+        )
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        sr, ch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    elif sw == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    else:
+        raise NotImplementedError(f"wav_decode supports 8/16-bit PCM (got {8 * sw}-bit)")
+    return sr, ch, sw, samples
+
+
+def decode_audio_bytes(buf: bytes, meta_sample_rate: int | None) -> tuple[int, int, int, np.ndarray]:
+    """Dispatch on magic bytes: RIFF/WAVE -> real container parse; anything
+    else is by THIS table's layout convention a raw unsigned-8-bit PCM
+    stream at ``meta.sample_rate`` (the synth table's byte rule) — also a
+    real decode, the format is just headerless."""
+    if buf[:4] == b"RIFF":
+        return wav_decode(buf)
+    return (
+        int(meta_sample_rate or 16000),
+        1,
+        1,
+        np.frombuffer(buf, dtype=np.uint8).astype(np.int64),
+    )
+
+
 def decode_image_bytes(buf: bytes) -> np.ndarray:
     """Dispatch on magic bytes.  JPEG/WebP/etc. raise NotImplementedError —
     the one remaining codec boundary (needs PIL/libjpeg, absent here); a
@@ -319,6 +380,45 @@ def image_features(
                     "mean_intensity", "std_intensity", "ahash",
                 ],
             )
+
+    return media.mapInPandas(batches, out_schema)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode -> per-clip stats via mapInPandas: REAL WAV container parse
+    (stdlib ``wave``) for RIFF payloads, raw u8 PCM for headerless streams
+    (the table layout convention).  Mean/std via exact integer moments
+    like image_features, so equal samples give bit-equal doubles;
+    duration from frame count / sample rate, never trusted from metadata."""
+    out_schema = (
+        "sample_id long, sample_rate int, channels int, bits int, "
+        "n_samples long, duration_ms double, mean_amp double, std_amp double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["modality"] == "audio"]
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                sr, ch, sw, samples = decode_audio_bytes(
+                    bytes(r.media or b""), (r.meta or {}).get("sample_rate")
+                )
+                n = int(samples.size)
+                s = int(samples.sum())
+                s2 = int((samples * samples).sum())
+                mean = s / n if n else 0.0
+                std = math.sqrt(max(s2 / n - (s / n) ** 2, 0.0)) if n else 0.0
+                frames = n // max(ch, 1)
+                rows.append((
+                    int(r.sample_id), int(sr), int(ch), 8 * sw, n,
+                    1000.0 * frames / sr if sr else 0.0, float(mean), float(std),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "sample_id", "sample_rate", "channels", "bits",
+                "n_samples", "duration_ms", "mean_amp", "std_amp",
+            ])
 
     return media.mapInPandas(batches, out_schema)
 
