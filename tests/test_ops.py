@@ -563,3 +563,35 @@ def test_audio_wav_decode_real(spark):
 
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         MM.wav_decode(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # mp3 frame magic
+
+
+def test_video_mp4_parse_real(spark):
+    """MP4 container framing parses for real (box-tree walk): encode ->
+    decode roundtrip of duration/timescale/dimensions, features over a
+    mixed mp4+raw table, malformed-box and non-ISO-BMFF refusals."""
+    import pytest
+
+    buf = MM.mp4_encode_stub(duration_ms=2500, width=640, height=360)
+    dur, ts, w, h = MM.mp4_decode_meta(buf)
+    assert (dur, ts, w, h) == (2500.0, 1000, 640, 360)
+
+    media = MM.synth_media_df(spark, 12)
+    mp4_row = spark.createDataFrame(
+        [(200, "video", bytearray(buf),
+          {"width": 640, "height": 360, "sample_rate": None, "duration_ms": 2500})],
+        MM.MEDIA_SCHEMA,
+    )
+    feats = {r["sample_id"]: r for r in
+             MM.video_features(media.unionByName(mp4_row)).collect()}
+    m = feats[200]
+    assert (m["container"], m["duration_ms"], m["width"], m["height"]) == \
+        ("mp4", 2500.0, 640, 360)
+    raw_ids = [r["sample_id"] for r in media.collect() if r["modality"] == "video"]
+    for i in raw_ids:
+        assert feats[i]["container"] == "raw"
+        assert feats[i]["payload_bytes"] == 256 + (i % 5) * 64
+
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        MM.mp4_decode_meta(bytes(MM._mp4_box(b"free", b"\x00" * 16)))
+    with pytest.raises(ValueError, match="malformed"):
+        MM.mp4_decode_meta(b"\x00\x00\x00\x03ftyp")  # box size 3 < 8

@@ -243,6 +243,91 @@ def decode_audio_bytes(buf: bytes, meta_sample_rate: int | None) -> tuple[int, i
     )
 
 
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def mp4_encode_stub(
+    duration_ms: int, width: int, height: int, timescale: int = 1000
+) -> bytes:
+    """Minimal valid MP4: ftyp + moov(mvhd + trak(tkhd)) + empty mdat —
+    enough structure for a real box-walking parser to recover duration,
+    timescale and track dimensions.  No codec payload (that is the ffmpeg
+    boundary); the container framing itself is just length-tagged boxes."""
+    dur = duration_ms * timescale // 1000
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">B3x4I", 0, 0, 0, timescale, dur)  # ver, ctime, mtime
+        + struct.pack(">I2H", 0x00010000, 0x0100, 0)  # rate, volume, rsvd
+        + b"\x00" * 8  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">B3x5I", 0, 0, 0, 1, 0, dur)  # ver/flags ctime mtime id rsvd dur
+        + b"\x00" * 8
+        + struct.pack(">4H", 0, 0, 0, 0)  # layer, alternate, volume, rsvd
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    return (
+        _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        + _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+        + _mp4_box(b"mdat", b"")
+    )
+
+
+def _mp4_walk(buf: bytes, start: int, end: int):
+    """Yield (tag, payload_start, payload_end) for the boxes in [start, end)
+    — raises on malformed sizes rather than looping or over-reading."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", buf[pos : pos + 4])[0]
+        tag = buf[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+            body = pos + 16
+        else:
+            body = pos + 8
+        if size < 8 or pos + size > end:
+            raise ValueError(f"mp4: malformed box {tag!r} size={size} at {pos}")
+        yield tag, body, pos + size
+        pos += size
+
+
+def mp4_decode_meta(buf: bytes) -> tuple[float, int, int, int]:
+    """REAL MP4 container parse -> (duration_ms, timescale, width, height)
+    by walking the box tree (ftyp/moov/mvhd/trak/tkhd).  Non-MP4 payloads
+    raise NotImplementedError (the wav_decode posture: parse what the
+    stdlib can, refuse loudly at the codec boundary)."""
+    tags = {t: (a, b) for t, a, b in _mp4_walk(buf, 0, len(buf))}
+    if b"ftyp" not in tags or b"moov" not in tags:
+        raise NotImplementedError(
+            "mp4_decode_meta handles ISO-BMFF (ftyp+moov) containers; other "
+            "video formats require ffmpeg bindings (absent in this container)"
+        )
+    duration_ms, timescale, width, height = 0.0, 0, 0, 0
+    ma, mb = tags[b"moov"]
+    for tag, a, b in _mp4_walk(buf, ma, mb):
+        if tag == b"mvhd":
+            ver = buf[a]
+            if ver == 0:
+                timescale, dur = struct.unpack(">II", buf[a + 12 : a + 20])
+            else:  # version 1: 64-bit times
+                timescale = struct.unpack(">I", buf[a + 20 : a + 24])[0]
+                dur = struct.unpack(">Q", buf[a + 24 : a + 32])[0]
+            duration_ms = 1000.0 * dur / timescale if timescale else 0.0
+        elif tag == b"trak":
+            for t2, a2, b2 in _mp4_walk(buf, a, b):
+                if t2 == b"tkhd":
+                    width, height = (
+                        v >> 16 for v in struct.unpack(">II", buf[b2 - 8 : b2])
+                    )
+    return duration_ms, timescale, width, height
+
+
 def decode_image_bytes(buf: bytes) -> np.ndarray:
     """Dispatch on magic bytes.  JPEG/WebP/etc. raise NotImplementedError —
     the one remaining codec boundary (needs PIL/libjpeg, absent here); a
@@ -418,6 +503,38 @@ def audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[
                 "sample_id", "sample_rate", "channels", "bits",
                 "n_samples", "duration_ms", "mean_amp", "std_amp",
+            ])
+
+    return media.mapInPandas(batches, out_schema)
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """Per-clip container metadata via mapInPandas: MP4 (ftyp magic) gets
+    a REAL box-tree parse (duration/timescale/track dimensions); headerless
+    payloads are raw byte streams — duration derived from
+    ``meta.duration_ms`` is NOT trusted, so raw rows report only size and
+    container='raw'."""
+    out_schema = (
+        "sample_id long, container string, duration_ms double, "
+        "timescale int, width int, height int, payload_bytes long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["modality"] == "video"]
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                buf = bytes(r.media or b"")
+                if len(buf) >= 8 and buf[4:8] == b"ftyp":
+                    dur, ts, w, h = mp4_decode_meta(buf)
+                    rows.append((int(r.sample_id), "mp4", dur, ts, w, h, len(buf)))
+                else:
+                    rows.append((int(r.sample_id), "raw", 0.0, 0, 0, 0, len(buf)))
+            yield pd.DataFrame(rows, columns=[
+                "sample_id", "container", "duration_ms", "timescale",
+                "width", "height", "payload_bytes",
             ])
 
     return media.mapInPandas(batches, out_schema)
