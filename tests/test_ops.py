@@ -595,3 +595,39 @@ def test_video_mp4_parse_real(spark):
         MM.mp4_decode_meta(bytes(MM._mp4_box(b"free", b"\x00" * 16)))
     with pytest.raises(ValueError, match="malformed"):
         MM.mp4_decode_meta(b"\x00\x00\x00\x03ftyp")  # box size 3 < 8
+
+
+def test_image_dimensions_header_only(spark):
+    """Header-only dimension parse: real PNG/BMP payloads from the synth
+    table, hand-built GIF and JPEG headers (whose PIXEL decode is behind
+    the codec boundary), and graceful parse_ok=false for junk."""
+    import struct as st
+
+    import pytest
+
+    media = MM.synth_media_df(spark, 24)
+    metas = {r["sample_id"]: r for r in MM.image_meta_features(media).collect()}
+    # dimensions must agree with the full pixel decode, at header cost
+    feats = {r["sample_id"]: r for r in MM.image_features(media).collect()}
+    assert set(metas) == set(feats)
+    for i, m in metas.items():
+        assert m["parse_ok"] and m["format"] in ("png", "bmp")
+        assert (m["width"], m["height"]) == (feats[i]["width"], feats[i]["height"])
+
+    # GIF89a logical screen descriptor
+    gif = b"GIF89a" + st.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert MM.image_dimensions(gif) == ("gif", 320, 200)
+    # minimal JPEG: SOI + APP0 segment + SOF0 with dimensions
+    app0 = b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + st.pack(">H", 11) + b"\x08" + st.pack(">HH", 480, 640) + b"\x01"
+    assert MM.image_dimensions(b"\xff\xd8" + app0 + sof0) == ("jpeg", 640, 480)
+    with pytest.raises(NotImplementedError):
+        MM.image_dimensions(b"RIFFxxxxWEBP")  # webp headers not parsed
+
+    junk = spark.createDataFrame(
+        [(300, "image", bytearray(b"\x00\x01\x02"),
+          {"width": None, "height": None, "sample_rate": None, "duration_ms": None})],
+        MM.MEDIA_SCHEMA,
+    )
+    bad = MM.image_meta_features(junk).collect()[0]
+    assert bad["parse_ok"] is False and bad["payload_bytes"] == 3

@@ -243,6 +243,44 @@ def decode_audio_bytes(buf: bytes, meta_sample_rate: int | None) -> tuple[int, i
     )
 
 
+def image_dimensions(buf: bytes) -> tuple[str, int, int]:
+    """Header-only (format, width, height) — NO pixel decode.  This is the
+    metadata scan a 100 TB image corpus actually runs: dimensions live in
+    the first bytes (PNG IHDR, BMP info header, GIF screen descriptor) or
+    an early marker segment (JPEG SOFn), so the stage reads a few hundred
+    bytes per file instead of decompressing payloads.  JPEG/GIF dimensions
+    ARE parseable here even though their pixel decode is behind the codec
+    boundary (decode_image_bytes)."""
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", buf[16:24])
+        return "png", w, h
+    if buf[:2] == b"BM":
+        w, h = struct.unpack("<ii", buf[18:26])
+        return "bmp", w, abs(h)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", buf[6:10])
+        return "gif", w, h
+    if buf[:2] == b"\xff\xd8":  # JPEG: walk marker segments to SOFn
+        pos = 2
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                break
+            marker = buf[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers, no length
+                continue
+            seglen = struct.unpack(">H", buf[pos + 2 : pos + 4])[0]
+            # SOF0-15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", buf[pos + 5 : pos + 9])
+                return "jpeg", w, h
+            pos += 2 + seglen
+        raise ValueError("jpeg: no SOF marker found (truncated header?)")
+    raise NotImplementedError(
+        f"image_dimensions: unrecognized magic {buf[:4]!r} (png/bmp/gif/jpeg headers supported)"
+    )
+
+
 def _mp4_box(tag: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + tag + payload
 
@@ -465,6 +503,37 @@ def image_features(
                     "mean_intensity", "std_intensity", "ahash",
                 ],
             )
+
+    return media.mapInPandas(batches, out_schema)
+
+
+def image_meta_features(media: DataFrame) -> DataFrame:
+    """Header-only dimension scan (image_dimensions) via mapInPandas — the
+    cheap pass over a 100 TB image corpus: bytes read per file is O(header),
+    not O(payload), and unrecognized/truncated payloads are surfaced as
+    parse_ok=false rows instead of failing the scan."""
+    out_schema = (
+        "sample_id long, format string, width int, height int, "
+        "payload_bytes long, parse_ok boolean"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["modality"] == "image"]
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                buf = bytes(r.media or b"")
+                try:
+                    fmt, w, h = image_dimensions(buf)
+                    rows.append((int(r.sample_id), fmt, w, h, len(buf), True))
+                except (NotImplementedError, ValueError, struct.error):
+                    rows.append((int(r.sample_id), None, 0, 0, len(buf), False))
+            yield pd.DataFrame(rows, columns=[
+                "sample_id", "format", "width", "height",
+                "payload_bytes", "parse_ok",
+            ])
 
     return media.mapInPandas(batches, out_schema)
 
