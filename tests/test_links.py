@@ -344,3 +344,13 @@ def test_builder_honors_links_fanout_cap(spark, tmp_path):
         capped_by_key[(s, mod(path_of[d]))].add(d)
     for key, dsts in capped_by_key.items():
         assert dsts == {min(exact_by_key[key])}, key
+
+    # the cap's contract: truncation is surfaced in the manifest metrics
+    fan = [m for m in cap_st.manifest()["metrics"]
+           if m.get("stage") == "links_fanout_cap"]
+    assert len(fan) == 1
+    assert fan[0]["cap"] == 1 and fan[0]["n_targets_dropped"] > 0
+    assert fan[0]["n_ambiguous_modules"] > 0
+    # and an uncapped build records no such metric
+    assert not [m for m in exact_st.manifest()["metrics"]
+                if m.get("stage") == "links_fanout_cap"]

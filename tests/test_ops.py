@@ -631,3 +631,62 @@ def test_image_dimensions_header_only(spark):
     )
     bad = MM.image_meta_features(junk).collect()[0]
     assert bad["parse_ok"] is False and bad["payload_bytes"] == 3
+
+
+def test_media_scan_robustness(spark):
+    """Round-3 review fixes: (a) compressed-audio magic raises at the codec
+    boundary instead of being misread as PCM, and a bad row becomes
+    parse_ok=false instead of killing the stage; (b) multi-track MP4 takes
+    the video trak's dimensions, not the audio trak's 0x0; (c) corrupt
+    headers (negative BMP width, truncated largesize) fail loudly."""
+    import struct as st
+
+    import pytest
+
+    # (a) mp3 sync bytes: loud at the decode level, surfaced at stage level
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 64
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        MM.decode_audio_bytes(mp3, 16000)
+    bad_audio = spark.createDataFrame(
+        [(400, "audio", bytearray(mp3),
+          {"width": None, "height": None, "sample_rate": 16000, "duration_ms": None})],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r["sample_id"]: r for r in
+            MM.audio_features(MM.synth_media_df(spark, 6).unionByName(bad_audio)).collect()}
+    assert rows[400]["parse_ok"] is False
+    assert all(r["parse_ok"] for i, r in rows.items() if i != 400)
+
+    # non-PCM RIFF/WAVE surfaces as NotImplementedError, not wave.Error
+    fake_alaw = b"RIFF" + st.pack("<I", 36) + b"WAVE" + b"fmt " + st.pack("<I", 16) \
+        + st.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8) + b"data" + st.pack("<I", 0)
+    with pytest.raises(NotImplementedError):
+        MM.wav_decode(fake_alaw)
+
+    # (b) multi-track mp4: video trak 640x360 + audio trak 0x0
+    vid = MM.mp4_encode_stub(1000, 640, 360)
+    # graft an audio trak (0x0) after the video trak inside moov
+    tkhd0 = MM._mp4_box(b"tkhd", st.pack(">B3x5I", 0, 0, 0, 2, 0, 1000)
+                        + b"\x00" * 8 + st.pack(">4H", 0, 0, 0, 0)
+                        + st.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                        + st.pack(">II", 0, 0))
+    trak0 = MM._mp4_box(b"trak", tkhd0)
+    # rebuild: ftyp + moov(old children + audio trak) + mdat
+    boxes = list(MM._mp4_walk(vid, 0, len(vid)))
+    (mt, ma, mb) = [b for b in boxes if b[0] == b"moov"][0]
+    moov2 = MM._mp4_box(b"moov", vid[ma:mb] + trak0)
+    multi = vid[:ma - 8] + moov2 + MM._mp4_box(b"mdat", b"")
+    assert MM.mp4_decode_meta(multi)[2:] == (640, 360)
+
+    # (c) corrupt headers
+    with pytest.raises(ValueError, match="negative width"):
+        MM.image_dimensions(b"BM" + b"\x00" * 16 + st.pack("<ii", -1, 10) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="truncated largesize"):
+        list(MM._mp4_walk(b"\x00\x00\x00\x01ftyp\x00\x00", 0, 12))
+    bad_mp4 = MM._mp4_box(b"ftyp", b"isom") + b"\x00\x00\x00\x03moov"
+    vrows = MM.video_features(spark.createDataFrame(
+        [(500, "video", bytearray(bad_mp4),
+          {"width": None, "height": None, "sample_rate": None, "duration_ms": None})],
+        MM.MEDIA_SCHEMA,
+    )).collect()
+    assert vrows[0]["parse_ok"] is False and vrows[0]["container"] == "mp4"

@@ -216,9 +216,15 @@ def wav_decode(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             "wav_decode handles RIFF/WAVE PCM; compressed audio codecs "
             "require ffmpeg bindings (absent in this container)"
         )
-    with wave.open(io.BytesIO(buf), "rb") as w:
-        sr, ch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(buf), "rb") as w:
+            sr, ch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as ex:
+        # mu-law/a-law/float/ADPCM WAVs are genuine RIFF/WAVE files the
+        # stdlib reader refuses — keep the documented single error type at
+        # the codec boundary instead of leaking wave.Error
+        raise NotImplementedError(f"wav_decode: non-PCM or truncated WAV ({ex})") from ex
     if sw == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
     elif sw == 1:
@@ -229,12 +235,23 @@ def wav_decode(buf: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 def decode_audio_bytes(buf: bytes, meta_sample_rate: int | None) -> tuple[int, int, int, np.ndarray]:
-    """Dispatch on magic bytes: RIFF/WAVE -> real container parse; anything
+    """Dispatch on magic bytes: RIFF/WAVE -> real container parse;
+    recognizably-compressed audio (mp3/ID3/AAC sync, Ogg, FLAC) raises at
+    the codec boundary rather than being silently misread as PCM; anything
     else is by THIS table's layout convention a raw unsigned-8-bit PCM
     stream at ``meta.sample_rate`` (the synth table's byte rule) — also a
     real decode, the format is just headerless."""
     if buf[:4] == b"RIFF":
         return wav_decode(buf)
+    if (
+        buf[:3] == b"ID3"
+        or buf[:4] in (b"OggS", b"fLaC")
+        or (len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0)  # mp3/aac sync
+    ):
+        raise NotImplementedError(
+            "decode_audio_bytes: compressed audio (mp3/aac/ogg/flac) requires "
+            "ffmpeg bindings (absent in this container)"
+        )
     return (
         int(meta_sample_rate or 16000),
         1,
@@ -251,11 +268,15 @@ def image_dimensions(buf: bytes) -> tuple[str, int, int]:
     bytes per file instead of decompressing payloads.  JPEG/GIF dimensions
     ARE parseable here even though their pixel decode is behind the codec
     boundary (decode_image_bytes)."""
-    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+    if buf[:8] == _PNG_MAGIC:
         w, h = struct.unpack(">II", buf[16:24])
         return "png", w, h
     if buf[:2] == b"BM":
+        # height may legitimately be negative (top-down rows); a negative
+        # WIDTH is a corrupt header and must not pass as parse_ok
         w, h = struct.unpack("<ii", buf[18:26])
+        if w < 0:
+            raise ValueError(f"bmp: negative width {w} (corrupt header)")
         return "bmp", w, abs(h)
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", buf[6:10])
@@ -325,11 +346,15 @@ def _mp4_walk(buf: bytes, start: int, end: int):
         size = struct.unpack(">I", buf[pos : pos + 4])[0]
         tag = buf[pos + 4 : pos + 8]
         if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError(f"mp4: truncated largesize header for {tag!r} at {pos}")
             size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
             body = pos + 16
+            min_size = 16
         else:
             body = pos + 8
-        if size < 8 or pos + size > end:
+            min_size = 8
+        if size < min_size or pos + size > end:
             raise ValueError(f"mp4: malformed box {tag!r} size={size} at {pos}")
         yield tag, body, pos + size
         pos += size
@@ -357,12 +382,17 @@ def mp4_decode_meta(buf: bytes) -> tuple[float, int, int, int]:
                 timescale = struct.unpack(">I", buf[a + 20 : a + 24])[0]
                 dur = struct.unpack(">Q", buf[a + 24 : a + 32])[0]
             duration_ms = 1000.0 * dur / timescale if timescale else 0.0
-        elif tag == b"trak":
+        elif tag == b"trak" and not (width and height):
+            # first trak with nonzero dimensions wins: a real MP4 lists the
+            # video trak alongside audio traks whose tkhd is 0x0 — taking
+            # the last trak would report 0x0 for every video+audio file
             for t2, a2, b2 in _mp4_walk(buf, a, b):
                 if t2 == b"tkhd":
-                    width, height = (
+                    w2, h2 = (
                         v >> 16 for v in struct.unpack(">II", buf[b2 - 8 : b2])
                     )
+                    if w2 and h2:
+                        width, height = w2, h2
     return duration_ms, timescale, width, height
 
 
@@ -543,10 +573,13 @@ def audio_features(media: DataFrame) -> DataFrame:
     (stdlib ``wave``) for RIFF payloads, raw u8 PCM for headerless streams
     (the table layout convention).  Mean/std via exact integer moments
     like image_features, so equal samples give bit-equal doubles;
-    duration from frame count / sample rate, never trusted from metadata."""
+    duration from frame count / sample rate, never trusted from metadata.
+    Undecodable payloads (compressed codecs, corrupt/non-PCM WAVs) become
+    ``parse_ok=false`` rows — one bad file must not abort a corpus scan."""
     out_schema = (
         "sample_id long, sample_rate int, channels int, bits int, "
-        "n_samples long, duration_ms double, mean_amp double, std_amp double"
+        "n_samples long, duration_ms double, mean_amp double, std_amp double, "
+        "parse_ok boolean"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -556,9 +589,13 @@ def audio_features(media: DataFrame) -> DataFrame:
                 continue
             rows = []
             for r in pdf.itertuples(index=False):
-                sr, ch, sw, samples = decode_audio_bytes(
-                    bytes(r.media or b""), (r.meta or {}).get("sample_rate")
-                )
+                try:
+                    sr, ch, sw, samples = decode_audio_bytes(
+                        bytes(r.media or b""), (r.meta or {}).get("sample_rate")
+                    )
+                except (NotImplementedError, ValueError, struct.error):
+                    rows.append((int(r.sample_id), 0, 0, 0, 0, 0.0, 0.0, 0.0, False))
+                    continue
                 n = int(samples.size)
                 s = int(samples.sum())
                 s2 = int((samples * samples).sum())
@@ -568,10 +605,11 @@ def audio_features(media: DataFrame) -> DataFrame:
                 rows.append((
                     int(r.sample_id), int(sr), int(ch), 8 * sw, n,
                     1000.0 * frames / sr if sr else 0.0, float(mean), float(std),
+                    True,
                 ))
             yield pd.DataFrame(rows, columns=[
                 "sample_id", "sample_rate", "channels", "bits",
-                "n_samples", "duration_ms", "mean_amp", "std_amp",
+                "n_samples", "duration_ms", "mean_amp", "std_amp", "parse_ok",
             ])
 
     return media.mapInPandas(batches, out_schema)
@@ -582,10 +620,12 @@ def video_features(media: DataFrame) -> DataFrame:
     a REAL box-tree parse (duration/timescale/track dimensions); headerless
     payloads are raw byte streams — duration derived from
     ``meta.duration_ms`` is NOT trusted, so raw rows report only size and
-    container='raw'."""
+    container='raw'.  A malformed or moov-less MP4 becomes a
+    ``parse_ok=false`` row — one bad file must not abort a corpus scan."""
     out_schema = (
         "sample_id long, container string, duration_ms double, "
-        "timescale int, width int, height int, payload_bytes long"
+        "timescale int, width int, height int, payload_bytes long, "
+        "parse_ok boolean"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -597,13 +637,22 @@ def video_features(media: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 buf = bytes(r.media or b"")
                 if len(buf) >= 8 and buf[4:8] == b"ftyp":
-                    dur, ts, w, h = mp4_decode_meta(buf)
-                    rows.append((int(r.sample_id), "mp4", dur, ts, w, h, len(buf)))
+                    try:
+                        dur, ts, w, h = mp4_decode_meta(buf)
+                        rows.append(
+                            (int(r.sample_id), "mp4", dur, ts, w, h, len(buf), True)
+                        )
+                    except (NotImplementedError, ValueError, struct.error):
+                        rows.append(
+                            (int(r.sample_id), "mp4", 0.0, 0, 0, 0, len(buf), False)
+                        )
                 else:
-                    rows.append((int(r.sample_id), "raw", 0.0, 0, 0, 0, len(buf)))
+                    rows.append(
+                        (int(r.sample_id), "raw", 0.0, 0, 0, 0, len(buf), True)
+                    )
             yield pd.DataFrame(rows, columns=[
                 "sample_id", "container", "duration_ms", "timescale",
-                "width", "height", "payload_bytes",
+                "width", "height", "payload_bytes", "parse_ok",
             ])
 
     return media.mapInPandas(batches, out_schema)

@@ -74,7 +74,12 @@ def links_frame(
     output is already a set (given unique ``doc_id``, the builder's
     invariant).  An explicit ``.distinct()`` here was a redundant
     edge-table-wide shuffle — at 10^12 files the single largest avoidable
-    cost of the links stage.
+    cost of the links stage.  Corollary: feeding DUPLICATE doc_ids (a
+    corpus row ingested twice under one id) now yields duplicate edges
+    that double degree/PageRank mass downstream — the old distinct masked
+    that ingestion bug; validating it here would cost the very shuffle
+    this removes, so the precondition is the caller's (the builder's
+    dense-rank ids satisfy it by construction, tested).
 
     ``max_targets_per_module`` (default None = exact, the oracle-matched
     semantics): at 10^12 files an ambiguous module name is a QUADRATIC

@@ -182,6 +182,17 @@ class IndexBuilder:
                 P.validate_docs_norms(self._read("docs"))
             do("stats", lambda: P.build_stats(self._read("docs"), cfg))
             links_f.result()
+            if cfg.links_max_targets_per_module is not None and "links" in run:
+                # the cap's contract: truncation is SURFACED, never silent —
+                # the fan-out accounting rides the manifest's metrics next
+                # to the stage it describes
+                cap = cfg.links_max_targets_per_module
+                fan = L.module_fanout_stats(
+                    self._read("corpus_tok"), cap
+                ).collect()[0].asDict()
+                self.storage.add_metric(
+                    {"stage": "links_fanout_cap", "cap": cap, **fan}
+                )
             forward_f.result()
             blocks_f.result()
         return BuildReport(

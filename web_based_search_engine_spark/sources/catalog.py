@@ -187,6 +187,17 @@ class ParquetIndexStorage:
         self._commit_manifest(m)
         return str(path)
 
+    def add_metric(self, metric: dict) -> None:
+        """Append a free-form metric record to the manifest (batched like
+        write_table's per-stage metrics) — used to surface accounting that
+        is not a table write, e.g. the links fan-out-cap truncation stats."""
+        if self._batch is not None:
+            self._batch["metrics"].append(metric)
+            return
+        m = self.manifest()
+        m["metrics"].append(metric)
+        self._commit_manifest(m)
+
     def write_table_partitions(
         self,
         df: DataFrame,

@@ -410,6 +410,10 @@ def _partition_granular_upsert(
             L.links_from_corpus_tok(tok_new, cfg.links_max_targets_per_module),
             "links", stage="links",
         )
+        if cfg.links_max_targets_per_module is not None:
+            cap = cfg.links_max_targets_per_module
+            fan = L.module_fanout_stats(tok_new, cap).collect()[0].asDict()
+            storage.add_metric({"stage": "links_fanout_cap", "cap": cap, **fan})
 
         # postings_raw is now stale: drop its checkpoint marker so a future
         # resume-build recomputes it from corpus_tok instead of consuming
