@@ -690,3 +690,29 @@ def test_media_scan_robustness(spark):
         MM.MEDIA_SCHEMA,
     )).collect()
     assert vrows[0]["parse_ok"] is False and vrows[0]["container"] == "mp4"
+
+
+def test_wav_roundtrip_property():
+    """Property: any PCM16 sample array survives wav_encode_pcm16 ->
+    wav_decode bit-exactly, with rate/channels/width preserved (no Spark
+    needed — the codec pair is pure)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        samples=st_.lists(st_.integers(-32768, 32767), min_size=1, max_size=500),
+        rate=st_.sampled_from([8000, 16000, 44100]),
+        channels=st_.integers(1, 2),
+    )
+    def check(samples, rate, channels):
+        # frame-align for multi-channel (wave counts frames, not samples)
+        if channels == 2 and len(samples) % 2:
+            samples = samples + [0]
+        arr = np.array(samples, dtype=np.int64)
+        buf = MM.wav_encode_pcm16(arr, sample_rate=rate, channels=channels)
+        sr, ch, sw, got = MM.wav_decode(buf)
+        assert (sr, ch, sw) == (rate, channels, 2)
+        assert np.array_equal(got, arr)
+
+    check()
