@@ -716,3 +716,84 @@ def test_wav_roundtrip_property():
         assert np.array_equal(got, arr)
 
     check()
+
+
+def test_media_scan_robustness_round4(spark):
+    """Round-4 ADVICE fixes: every malformed payload class the advisor
+    found must surface as a refusal at the decode level and parse_ok=false
+    at the stage level — never an uncaught EOFError/IndexError aborting a
+    corpus scan, never garbage dimensions from entropy-coded JPEG bytes."""
+    import struct as st
+
+    # (a) truncated WAV chunk: wave.open raises EOFError (not wave.Error);
+    # must become the documented NotImplementedError at the codec boundary
+    trunc_wav = b"RIFF" + st.pack("<I", 100) + b"WAVE" + b"fmt " + st.pack("<I", 16) \
+        + st.pack("<HH", 1, 1)  # declared 16-byte fmt chunk, only 4 present
+    with pytest.raises(NotImplementedError, match="truncated"):
+        MM.wav_decode(trunc_wav)
+    bad_audio = spark.createDataFrame(
+        [(600, "audio", bytearray(trunc_wav),
+          {"width": None, "height": None, "sample_rate": 8000, "duration_ms": None})],
+        MM.MEDIA_SCHEMA,
+    )
+    arow = MM.audio_features(bad_audio).collect()[0]
+    assert arow["parse_ok"] is False
+
+    # (b) mvhd box with size 8 (empty payload): previously IndexError on
+    # buf[a]; must be ValueError -> parse_ok=false, not a stage abort
+    empty_mvhd = MM._mp4_box(b"ftyp", b"isom") \
+        + MM._mp4_box(b"moov", st.pack(">I", 8) + b"mvhd")
+    with pytest.raises(ValueError, match="mvhd payload too short"):
+        MM.mp4_decode_meta(empty_mvhd)
+    # truncated v1 mvhd (declares 64-bit times, payload too short for them)
+    short_v1 = MM._mp4_box(b"ftyp", b"isom") \
+        + MM._mp4_box(b"moov", MM._mp4_box(b"mvhd", b"\x01" + b"\x00" * 23))
+    with pytest.raises(ValueError, match="mvhd v1 payload too short"):
+        MM.mp4_decode_meta(short_v1)
+    # tkhd shorter than the 8 trailing dimension bytes: refuse, don't read
+    # the preceding box's bytes as width/height
+    tiny_tkhd = MM._mp4_box(b"ftyp", b"isom") + MM._mp4_box(
+        b"moov",
+        MM._mp4_box(b"mvhd", st.pack(">B3x4I", 0, 0, 0, 1000, 1000) + b"\x00" * 80)
+        + MM._mp4_box(b"trak", MM._mp4_box(b"tkhd", b"\x00" * 4)),
+    )
+    with pytest.raises(ValueError, match="tkhd payload too short"):
+        MM.mp4_decode_meta(tiny_tkhd)
+    vrow = MM.video_features(spark.createDataFrame(
+        [(601, "video", bytearray(empty_mvhd),
+          {"width": None, "height": None, "sample_rate": None, "duration_ms": None})],
+        MM.MEDIA_SCHEMA,
+    )).collect()[0]
+    assert vrow["parse_ok"] is False and vrow["container"] == "mp4"
+
+    # (c) JPEG whose SOS precedes any SOF: the walker must stop at the
+    # entropy-coded boundary with a clean failure, not scan compressed
+    # bytes as markers (garbage dimensions)
+    app0 = b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sos = b"\xff\xda" + st.pack(">H", 8) + b"\x01\x01\x00\x00\x00\x00"
+    # entropy bytes that LOOK like an SOF0 marker segment with dims 9999x9999
+    fake_sof = b"\xff\xc0" + st.pack(">H", 11) + b"\x08" + st.pack(">HH", 9999, 9999) + b"\x01"
+    with pytest.raises(ValueError, match="no SOF"):
+        MM.image_dimensions(b"\xff\xd8" + app0 + sos + fake_sof)
+    with pytest.raises(ValueError, match="no SOF"):
+        MM.image_dimensions(b"\xff\xd8" + app0 + b"\xff\xd9")  # EOI, no SOF
+
+
+def test_links_validate_ids(spark):
+    """links_frame/links_from_corpus_tok run distinct-free on the builder's
+    unique-id invariant; validate_ids=True is the opt-in guard that raises
+    on duplicate doc_ids instead of silently doubling edge mass."""
+    from web_based_search_engine_spark.operators import links as LK
+
+    rows = [
+        (1, "src/a.py", "import b"),
+        (2, "src/b.py", "import a"),
+        (2, "src/b_copy.py", "import a"),  # duplicate doc_id
+    ]
+    dup = spark.createDataFrame(rows, "doc_id long, path string, content string")
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        LK.links_frame(dup, validate_ids=True)
+    ok = spark.createDataFrame(rows[:2], "doc_id long, path string, content string")
+    edges = {(r.src_doc_id, r.dst_doc_id)
+             for r in LK.links_frame(ok, validate_ids=True).collect()}
+    assert edges == {(1, 2), (2, 1)}

@@ -220,10 +220,11 @@ def wav_decode(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         with wave.open(io.BytesIO(buf), "rb") as w:
             sr, ch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
             raw = w.readframes(w.getnframes())
-    except wave.Error as ex:
+    except (wave.Error, EOFError) as ex:
         # mu-law/a-law/float/ADPCM WAVs are genuine RIFF/WAVE files the
-        # stdlib reader refuses — keep the documented single error type at
-        # the codec boundary instead of leaking wave.Error
+        # stdlib reader refuses (wave.Error); a RIFF header whose chunk is
+        # truncated raises EOFError from chunk.py — both must surface as the
+        # documented single error type so one bad file never aborts a scan
         raise NotImplementedError(f"wav_decode: non-PCM or truncated WAV ({ex})") from ex
     if sw == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
@@ -287,6 +288,12 @@ def image_dimensions(buf: bytes) -> tuple[str, int, int]:
             if buf[pos] != 0xFF:
                 break
             marker = buf[pos + 1]
+            if marker in (0xDA, 0xD9):
+                # SOS starts entropy-coded data / EOI ends the stream: a
+                # conforming SOF always precedes SOS, so walking further
+                # would scan compressed bytes as markers and could return
+                # garbage dimensions — fail cleanly instead
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2  # standalone markers, no length
                 continue
@@ -375,10 +382,14 @@ def mp4_decode_meta(buf: bytes) -> tuple[float, int, int, int]:
     ma, mb = tags[b"moov"]
     for tag, a, b in _mp4_walk(buf, ma, mb):
         if tag == b"mvhd":
+            if b - a < 20:  # ver/flags + v0 times need 20 bytes minimum
+                raise ValueError(f"mp4: mvhd payload too short ({b - a} bytes)")
             ver = buf[a]
             if ver == 0:
                 timescale, dur = struct.unpack(">II", buf[a + 12 : a + 20])
             else:  # version 1: 64-bit times
+                if b - a < 32:
+                    raise ValueError(f"mp4: mvhd v1 payload too short ({b - a} bytes)")
                 timescale = struct.unpack(">I", buf[a + 20 : a + 24])[0]
                 dur = struct.unpack(">Q", buf[a + 24 : a + 32])[0]
             duration_ms = 1000.0 * dur / timescale if timescale else 0.0
@@ -388,6 +399,8 @@ def mp4_decode_meta(buf: bytes) -> tuple[float, int, int, int]:
             # the last trak would report 0x0 for every video+audio file
             for t2, a2, b2 in _mp4_walk(buf, a, b):
                 if t2 == b"tkhd":
+                    if b2 - a2 < 8:  # width/height live in the LAST 8 bytes
+                        raise ValueError(f"mp4: tkhd payload too short ({b2 - a2} bytes)")
                     w2, h2 = (
                         v >> 16 for v in struct.unpack(">II", buf[b2 - 8 : b2])
                     )

@@ -59,8 +59,29 @@ def extract_refs(corpus: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+def assert_unique_doc_ids(df: DataFrame, col: str = "doc_id") -> None:
+    """Debug-mode guard for the no-distinct edge contract (links_frame note):
+    raises ValueError naming an offending id if ``col`` has duplicates.
+
+    Costs one hash-agg shuffle over (col) — exactly the shuffle the
+    edge-table distinct used to pay, which is why it is opt-in
+    (``validate_ids=True``) rather than always-on: the builder's dense-rank
+    ids satisfy the precondition by construction."""
+    dup = (
+        df.groupBy(col).count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate {col}={dup[0][col]!r} (x{dup[0]['count']}): edge "
+            "tables built without a distinct pass would double-count edges "
+            "for this id — fix ingestion or pass validate_ids=False knowingly"
+        )
+
+
 def links_frame(
-    corpus_with_ids: DataFrame, max_targets_per_module: int | None = None
+    corpus_with_ids: DataFrame,
+    max_targets_per_module: int | None = None,
+    validate_ids: bool = False,
 ) -> DataFrame:
     """(doc_id, path, content) -> edge table (src_doc_id, dst_doc_id).
 
@@ -77,9 +98,12 @@ def links_frame(
     cost of the links stage.  Corollary: feeding DUPLICATE doc_ids (a
     corpus row ingested twice under one id) now yields duplicate edges
     that double degree/PageRank mass downstream — the old distinct masked
-    that ingestion bug; validating it here would cost the very shuffle
+    that ingestion bug; always-on validation would cost the very shuffle
     this removes, so the precondition is the caller's (the builder's
-    dense-rank ids satisfy it by construction, tested).
+    dense-rank ids satisfy it by construction, tested).  External callers
+    with arbitrary frames can pass ``validate_ids=True`` for an explicit
+    one-shuffle uniqueness check (assert_unique_doc_ids) that raises
+    instead of silently doubling mass.
 
     ``max_targets_per_module`` (default None = exact, the oracle-matched
     semantics): at 10^12 files an ambiguous module name is a QUADRATIC
@@ -89,6 +113,8 @@ def links_frame(
     capped operator here) and MUST be paired with ``module_fanout_stats``
     so the truncation is surfaced, never silent.
     """
+    if validate_ids:
+        assert_unique_doc_ids(corpus_with_ids)
     refs = extract_refs(
         corpus_with_ids.select("doc_id", "content")
     ).withColumnRenamed("doc_id", "src_doc_id")
@@ -104,15 +130,20 @@ def links_frame(
 
 
 def links_from_corpus_tok(
-    corpus_tok: DataFrame, max_targets_per_module: int | None = None
+    corpus_tok: DataFrame,
+    max_targets_per_module: int | None = None,
+    validate_ids: bool = False,
 ) -> DataFrame:
     """Edge table from a corpus_tok frame that already carries ``refs`` and
     ``module`` (extracted at tokenize time, postings.with_doc_ids) — no
     second scan of raw content.  No distinct pass: the stored ``refs``
     column is array_distinct per doc and ``module`` is one value per
-    target, so join output pairs are already unique (links_frame note).
+    target, so join output pairs are already unique (links_frame note);
+    ``validate_ids=True`` buys the explicit uniqueness check.
 
     ``max_targets_per_module`` caps the join fan-out; see links_frame."""
+    if validate_ids:
+        assert_unique_doc_ids(corpus_tok)
     refs = corpus_tok.select(
         F.col("doc_id").alias("src_doc_id"), F.explode("refs").alias("ref")
     )
