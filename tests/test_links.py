@@ -234,6 +234,38 @@ def test_pagerank_no_dangling_cycle_and_knob_validation(spark):
         pagerank(edges, checkpoint_every=0)
 
 
+def test_pagerank_tol_early_exit(spark):
+    """Directive r4-8: with ``tol`` set, a converged graph stops BEFORE
+    n_iter (the symmetric 3-cycle hits its uniform fixpoint after one
+    update), ranks land within tol of the fixed-count run, and tol=None
+    keeps exact n_iter semantics (no delta ever computed)."""
+    import pytest
+
+    from web_based_search_engine_spark.operators.links import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src_doc_id long, dst_doc_id long"
+    )
+    stats = {}
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in pagerank(edges, 0.85, n_iter=50, tol=1e-12, stats=stats).collect()
+    }
+    assert stats["iterations"] < 50, stats  # converged early
+    assert stats["final_delta"] is not None and stats["final_delta"] < 1e-12
+    exact = {
+        r["doc_id"]: r["rank"] for r in pagerank(edges, 0.85, n_iter=50).collect()
+    }
+    for v in got:
+        assert abs(got[v] - exact[v]) < 1e-12, (v, got[v], exact[v])
+    # tol=None: exact n_iter semantics, delta never computed
+    stats_fixed = {}
+    pagerank(edges, 0.85, n_iter=4, stats=stats_fixed).collect()
+    assert stats_fixed == {"iterations": 4, "final_delta": None}
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(edges, tol=0.0)
+
+
 def test_links_frame_needs_no_distinct(spark):
     """The edge join's output is already a set: refs are array_distinct per
     source and each target has exactly one module name, so dropping the

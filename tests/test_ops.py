@@ -355,16 +355,89 @@ def test_connected_components_chain_and_islands(spark):
     assert {k: v for k, v in got.items() if k >= 10} == {i: 10 for i in (10, 11, 12)}
 
 
-def test_connected_components_raises_before_returning_partial_labels(spark):
-    """Hitting max_iter before the fixpoint must RAISE, never return a
-    partially-propagated (wrong) labeling: the 6-node chain needs more
-    than one min-label round to converge."""
+def test_connected_components_never_returns_partial_labels(spark):
+    """Hitting max_iter before the propagation fixpoint must never return
+    a partially-propagated (wrong) labeling: with algorithm='auto' (the
+    default) it escalates to star contraction and returns the CORRECT
+    fixpoint; with algorithm='propagation' it RAISES.  The 6-node chain
+    needs more than one min-label round to converge."""
     from web_based_search_engine_spark.operators.dedup import connected_components
 
     pairs = [(2, 1), (2, 3), (4, 3), (5, 4), (6, 5)]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(df, max_iter=1).collect()}
+    assert got == {i: 1 for i in range(1, 7)}
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, algorithm="propagation")
+
+
+def test_connected_components_star_path_graph_olog_rounds(spark):
+    """Directive r4-1: alternating large-star/small-star contraction
+    (Kiveris et al., SoCC 2014) converges on a 500-node PATH graph — the
+    adversarial diameter case where min-label propagation needs 499
+    rounds — in <= 2*log2(n) rounds, with labels identical to the
+    propagation fixpoint (component = reachable min)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from web_based_search_engine_spark.operators.dedup import _star_contraction
+
+    n = 500
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels, rounds = _star_contraction(sym, max_iter=2 * math.ceil(math.log2(n)))
+    assert rounds <= 2 * math.ceil(math.log2(n))  # 18 for n=500
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Star contraction and min-label propagation reach the SAME fixpoint
+    (labels are algorithm-independent) on a mixed graph: chain + triangle
+    + two-node island."""
+    from web_based_search_engine_spark.operators.dedup import connected_components
+
+    pairs = [(2, 1), (2, 3), (4, 3), (5, 4), (6, 5),
+             (10, 11), (11, 12), (12, 10), (20, 21)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    via_prop = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df, algorithm="propagation").collect()
+    }
+    via_star = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert via_star == via_prop
+    assert via_star[6] == 1 and via_star[12] == 10 and via_star[21] == 20
+
+
+def test_connected_components_auto_escalates_to_star(spark):
+    """algorithm='auto' (the default) must ESCALATE to star contraction —
+    not raise, not return partial labels — when propagation hits max_iter
+    on a long drift chain."""
+    from web_based_search_engine_spark.operators.dedup import connected_components
+
+    n = 40
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    # propagation needs n-1=39 rounds; max_iter=3 forces the escalation
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df, max_iter=3, algorithm="auto").collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # explicit propagation keeps the pre-escalation RAISE contract
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=3, algorithm="propagation")
 
 
 def test_dedup_clusters_merges_transitive_pairs(spark):

@@ -359,11 +359,104 @@ def cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star: every node connects its strictly-LARGER
+    neighbors to the minimum of its closed neighborhood.  Input/output are
+    undirected edge lists (u, v), u != v; output edges are oriented
+    large->small by construction (the new endpoint is a neighborhood min).
+    One shuffle for the per-node min (window over u), one for distinct."""
+    from pyspark.sql import Window
+
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    return (
+        sym.withColumn("m", m)
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Kiveris et al. small-star: orient each edge large->small, then every
+    node connects its smaller neighbors AND itself to the minimum of those
+    neighbors.  Same shuffle shape as _large_star."""
+    from pyspark.sql import Window
+
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    with_min = oriented.withColumn(
+        "m", F.min("v").over(Window.partitionBy("u"))
+    )
+    return (
+        with_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(with_min.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_contraction(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii: "Connected Components in MapReduce
+    and Beyond", SoCC 2014) -> ((doc_id, component) labels, rounds used).
+
+    Converges in O(log n) rounds regardless of component DIAMETER — the
+    property min-label propagation lacks (its round count is the diameter,
+    so a 10^6-doc drift chain would need 10^6 rounds).  At the fixpoint the
+    edge set is exactly the star forest {(child, component-min)}, from
+    which labels read off directly.  Each half-round is two shuffles
+    (per-node neighborhood min + distinct); convergence = the star test
+    (every edge's smaller endpoint is its group min under BOTH stars),
+    checked with the same 1-row count discipline as cc_round.
+    """
+    edges = edges.select(
+        F.greatest(F.col("src"), F.col("dst")).alias("u"),
+        F.least(F.col("src"), F.col("dst")).alias("v"),
+    ).distinct()
+    rounds = 0
+    converged = False
+    while rounds < max_iter:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        rounds += 1
+        # Star test: converged iff the edge set is a fixpoint.  Both star
+        # ops leave a star forest unchanged, so (same count) + (new ⊆ old)
+        # over distinct sets ⇒ equality; the anti-join count is the only
+        # driver-side data (1 row).
+        grown = new_edges.join(edges, ["u", "v"], "left_anti").count()
+        if grown == 0 and new_edges.count() == edges.count():
+            edges = new_edges
+            converged = True
+            break
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"connected_components[star]: no fixpoint after {max_iter} "
+            f"rounds — O(log n) bound exceeded, input edge list is "
+            f"pathological (raise max_iter and rerun)"
+        )
+    children = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component")
+    )
+    roots = (
+        edges.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .join(edges.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti")
+        .withColumn("component", F.col("doc_id"))
+    )
+    return children.unionByName(roots), rounds
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Collapse near-dup PAIRS into duplicate CLUSTERS ->
     (doc_id, component) where component = min doc id reachable.
@@ -372,50 +465,70 @@ def connected_components(
     evidence, but the unit of removal is the transitive CLUSTER (keep one
     representative per component, drop the rest).
 
-    Algorithm: iterative min-id propagation to an exact fixpoint — each
-    round every node adopts the smallest label among itself and its
-    neighbors; converged when no label changed.  Per round: ONE shuffle
-    (the edge⋈label join + min agg, map-side combined) and a 1-row
-    convergence count; labels are localCheckpoint'ed each round (same
-    O(1)-lineage discipline as links.pagerank).  Rounds needed = graph
-    diameter ≤ cluster size; near-dup clusters are dense (diameter 2-3 in
-    practice), and real engines (GraphX/GraphFrames CC) use the same
-    propagation shape with large/small-star optimizations for adversarial
-    chains.  ``max_iter`` is a runaway bound, not a correctness knob — the
-    fixpoint makes the result iteration-count-independent, which is what
-    lets a recursive-SQL oracle (different evaluation order) match exactly.
-    If the bound is hit before the fixpoint (a component whose min-id
-    propagation distance exceeds ``max_iter``, e.g. a >50-doc drift chain)
-    the function RAISES rather than returning a silently-wrong partial
-    labeling — raise ``max_iter`` and rerun.
+    Two algorithms, both exact-fixpoint (the result is algorithm- and
+    iteration-order-independent, which is what lets a recursive-SQL oracle
+    with a different evaluation order match byte-for-byte):
+
+    - ``propagation`` — iterative min-id propagation: each round every
+      node adopts the smallest label among itself and its neighbors; ONE
+      shuffle per round (edge⋈label join + map-side-combined min agg) and
+      a 1-row convergence count; labels localCheckpoint'ed per round (the
+      links.pagerank O(1)-lineage discipline).  Rounds = component
+      DIAMETER — optimal for near-dup clusters (dense, diameter 2-3) but
+      unbounded for adversarial drift chains.
+    - ``star`` — alternating large-star/small-star contraction (Kiveris
+      et al., SoCC 2014): O(log n) rounds regardless of diameter, ~2
+      shuffles per half-round.  The scale path for graphs whose shape is
+      unknown.
+    - ``auto`` (default) — propagation first; if the ``max_iter`` bound is
+      hit before the fixpoint (e.g. a >50-doc drift chain), ESCALATE to
+      star contraction on the same edges instead of failing.  Never
+      returns a silently-partial labeling: propagation's partial labels
+      are discarded, star recomputes from the raw edges.
+
+    ``max_iter`` is a runaway bound, not a correctness knob.  With
+    ``algorithm="propagation"`` hitting it RAISES (the pre-escalation
+    behavior, kept for plan-audit reproducibility).
     """
-    edges = (
+    if algorithm not in ("auto", "propagation", "star"):
+        raise ValueError(f"connected_components: unknown algorithm {algorithm!r}")
+    sym_edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    changed = 0
-    for _ in range(max_iter):
-        updated = cc_round(edges, labels).localCheckpoint()
-        changed = updated.where(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if changed == 0:
-            break
-    edges.unpersist()
-    if changed != 0:
-        raise RuntimeError(
-            f"connected_components: no fixpoint after {max_iter} rounds "
-            f"({changed} labels still changing); a component's propagation "
-            f"distance exceeds max_iter — raise max_iter and rerun"
+    try:
+        if algorithm == "star":
+            labels, _ = _star_contraction(sym_edges, max_iter)
+            return labels
+        labels = (
+            sym_edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("component", F.col("doc_id"))
+            .localCheckpoint()
         )
-    return labels
+        changed = 0
+        for _ in range(max_iter):
+            updated = cc_round(sym_edges, labels).localCheckpoint()
+            changed = updated.where(F.col("_changed")).count()
+            labels = updated.drop("_changed")
+            if changed == 0:
+                break
+        if changed != 0:
+            if algorithm == "auto":
+                # star needs ~2*log2(n) rounds; 64 covers n up to 2^32 —
+                # propagation's (diameter-scaled) budget is the wrong unit
+                labels, _ = _star_contraction(sym_edges, max(max_iter, 64))
+                return labels
+            raise RuntimeError(
+                f"connected_components: no fixpoint after {max_iter} rounds "
+                f"({changed} labels still changing); a component's propagation "
+                f"distance exceeds max_iter — raise max_iter and rerun"
+            )
+        return labels
+    finally:
+        sym_edges.unpersist()
 
 
 def dedup_clusters(

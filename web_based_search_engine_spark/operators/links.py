@@ -265,6 +265,8 @@ def pagerank(
     src: str = "src_doc_id",
     dst: str = "dst_doc_id",
     checkpoint_every: int = 1,
+    tol: float | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """PageRank over an edge table by damped power iteration (the natural
     companion of the parent/child link index, LinkIndexer.java:12-25 — the
@@ -311,11 +313,24 @@ def pagerank(
     since doc ids are dense), and hot sink pages are handled by the map-side
     partial sums exactly like the df computation in build_vocab.
 
+    Convergence early-exit: with ``tol`` set, iteration stops as soon as
+    the L1 rank delta ``Σ|rank_i − rank_{i−1}|`` (computed at checkpoint
+    boundaries, i.e. every ``checkpoint_every`` iterations — both frames
+    are already materialized there, so the check is one join over cached
+    state) drops below ``tol`` — the standard power-iteration stopping
+    rule.  ``tol=None`` (default) keeps EXACT ``n_iter`` semantics: zero
+    extra work per iteration and bit-identical output to the fixed-count
+    loop, which is what the driver's 10-CTE SQL oracle replays.  Pass a
+    dict as ``stats`` to receive {"iterations", "final_delta"} (delta is
+    None when ``tol`` is unset — it is never computed then).
+
     Returns (doc_id, rank): every node reachable from the edge table, ranks
     summing to ~1 (dangling mass redistributed uniformly).
     """
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    if tol is not None and tol <= 0:
+        raise ValueError(f"tol must be positive when set, got {tol}")
     nodes = (
         edges.select(F.col(src).alias("doc_id"))
         .unionByName(edges.select(F.col(dst).alias("doc_id")))
@@ -337,17 +352,40 @@ def pagerank(
     adj.count()
     ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     anchor = ranks  # last checkpointed frame — the fused window's data root
+    delta = None
+    iterations = 0
     for i in range(n_iter):
         new_ranks = pagerank_iteration(nodes, adj, ranks, n, damping)
+        iterations = i + 1
         if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
             # eager: materializes the fused window AND truncates lineage;
             # only now is the previous anchor's cached state releasable
             new_ranks = new_ranks.localCheckpoint()
+            if tol is not None:
+                # both frames are checkpointed here — the L1 delta is one
+                # doc_id-join over cached state + a 1-row agg, paid only
+                # when the caller opted into convergence stopping
+                delta = (
+                    new_ranks.join(
+                        anchor.select("doc_id", F.col("rank").alias("_prev")),
+                        "doc_id",
+                    )
+                    .agg(F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("d"))
+                    .collect()[0]["d"]
+                    or 0.0
+                )
             anchor.unpersist()
             anchor = new_ranks
-        ranks = new_ranks
+            ranks = new_ranks
+            if tol is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     nodes.unpersist()
     adj.unpersist()
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["final_delta"] = delta
     return ranks
 
 
