@@ -401,3 +401,145 @@ def test_upsert_norm_free_docs_is_partition_granular(spark, tmp_path):
                      mode="columnar")
     with _pytest.raises(RuntimeError, match="reference_norms"):
         qr.search("zulu", assemble=False).collect()
+
+
+def test_full_snapshot_tombstone_deletes(spark, tmp_path):
+    """Directive r4-6: with full_snapshot=True, stored keys absent from the
+    batch are DELETED — (a) delete-then-query returns no hits, (b) term
+    buckets untouched by the deleted docs stay hard-linked byte-identical,
+    (c) the purged index answers queries with the same scores as a fresh
+    build of the surviving corpus, and (d) without full_snapshot absence
+    never deletes (streaming micro-batches are partial views)."""
+    import os
+
+    cfg = IndexConfig(num_term_buckets=16, block_size=8)
+    # bulk group-A docs use a vocabulary disjoint from the doomed r/b docs,
+    # so several term buckets are untouched by the delete
+    rows = [
+        ("r/a", f"a{i:03d}.py", "c1", "py",
+         f"alpha{i % 7} bravo{i % 5} charlie{i % 3} delta echo")
+        for i in range(40)
+    ]
+    doomed = [
+        ("r/b", "del0.py", "c1", "py", "zulu yankee xray"),
+        ("r/b", "del1.py", "c1", "py", "zulu victor whiskey"),
+    ]
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(spark, storage, cfg).build(_mini_corpus(spark, rows + doomed))
+    docs_v1 = {
+        (r["repo"], r["path"]): r["doc_id"]
+        for r in storage.read_table(spark, "docs").collect()
+    }
+    v1_postings_path = storage.table_meta("postings")["path"]
+    v1_blocks_path = storage.table_meta("blocks")["path"]
+
+    # (d) default mode: the same partial batch deletes NOTHING (no-op)
+    rep0 = incremental_update(spark, storage, _mini_corpus(spark, rows), cfg)
+    assert rep0.stages_run == []
+    assert storage.read_table(spark, "docs").count() == 42
+
+    # full snapshot without the r/b docs: pure delete, nothing fresh
+    rep = incremental_update(
+        spark, storage, _mini_corpus(spark, rows), cfg, full_snapshot=True
+    )
+    assert rep.stages_run
+
+    # (a) deleted content is unfindable in BOTH query modes
+    for mode in ("blocks", "columnar"):
+        qe = QueryEngine(spark, storage, mode=mode)
+        assert qe.search("zulu", assemble=False).count() == 0, mode
+        assert qe.search("yankee xray", assemble=False).count() == 0, mode
+    docs_v2 = {
+        (r["repo"], r["path"]): r["doc_id"]
+        for r in storage.read_table(spark, "docs").collect()
+    }
+    assert len(docs_v2) == 40 and ("r/b", "del0.py") not in docs_v2
+    # surviving docs keep their ids
+    for k, did in docs_v2.items():
+        assert docs_v1[k] == did, k
+    # deleted-only terms left the vocab
+    vocab_terms = {r["term"] for r in storage.read_table(spark, "vocab").collect()}
+    assert "zulu" not in vocab_terms and "echo" in vocab_terms
+
+    # (b) untouched term buckets hard-linked byte-identical
+    for name, v1_path in (("postings", v1_postings_path), ("blocks", v1_blocks_path)):
+        meta = storage.table_meta(name)
+        assert meta["reused_partitions"] >= 1, name
+        rewritten = set(meta["rewritten_partitions"])
+        for sub in sorted(os.listdir(meta["path"])):
+            if not sub.startswith("bucket=") or sub.split("=")[1] in rewritten:
+                continue
+            old_sub = os.path.join(v1_path, sub)
+            assert os.path.isdir(old_sub), (name, sub)
+            assert _hash_dir(old_sub) == _hash_dir(os.path.join(meta["path"], sub))
+
+    # (c) purged index == fresh build of the surviving corpus
+    fresh_storage = ParquetIndexStorage(tmp_path / "idx_fresh")
+    IndexBuilder(spark, fresh_storage, cfg).build(_mini_corpus(spark, rows))
+
+    def by_key(st, q):
+        qe = QueryEngine(spark, st, mode="blocks")
+        out = qe.search(q, assemble=False)
+        docs = st.read_table(spark, "docs").select("doc_id", "repo", "path")
+        return {
+            (r["repo"], r["path"]): round(r["score"], 9)
+            for r in out.join(docs, "doc_id").collect()
+        }
+
+    for q in ("echo", "alpha0 charlie1", "delta"):
+        assert by_key(storage, q) == by_key(fresh_storage, q), q
+    vu = {r["term"]: (r["df"], r["cf"], r["max_tf"])
+          for r in storage.read_table(spark, "vocab").collect()}
+    vn = {r["term"]: (r["df"], r["cf"], r["max_tf"])
+          for r in fresh_storage.read_table(spark, "vocab").collect()}
+    assert vu == vn
+
+
+def test_full_snapshot_delete_with_simultaneous_upsert(spark, tmp_path):
+    """Deletes and upserts in ONE full-snapshot batch: a doc changes, a doc
+    disappears, a doc appears — one atomic transaction, all three visible
+    after."""
+    v1 = [
+        ("r/a", "keep.py", "c1", "py", "searching engines alpha"),
+        ("r/a", "edit.py", "c1", "py", "posting retrieval beta"),
+        ("r/a", "gone.py", "c1", "py", "obsolete gamma content"),
+    ]
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(spark, storage, CFG).build(_mini_corpus(spark, v1))
+
+    v2 = [
+        ("r/a", "keep.py", "c1", "py", "searching engines alpha"),
+        ("r/a", "edit.py", "c2", "py", "posting retrieval REVISED delta"),
+        ("r/a", "new.py", "c1", "py", "fresh epsilon arrival"),
+    ]
+    rep = incremental_update(
+        spark, storage, _mini_corpus(spark, v2), CFG, full_snapshot=True
+    )
+    assert rep.stages_run
+    docs = {
+        (r["repo"], r["path"]) for r in storage.read_table(spark, "docs").collect()
+    }
+    assert docs == {("r/a", "keep.py"), ("r/a", "edit.py"), ("r/a", "new.py")}
+    qe = QueryEngine(spark, storage, mode="columnar")
+    assert qe.search("gamma", assemble=False).count() == 0
+    assert qe.search("obsolete", assemble=False).count() == 0
+    assert qe.search("revised", assemble=False).count() == 1
+    assert qe.search("epsilon", assemble=False).count() == 1
+    assert qe.search("beta", assemble=False).count() == 0  # edit removed it
+
+
+def test_plan_freshness_tombstones(spark):
+    """plan_freshness unit: full_snapshot marks absent stored keys deleted;
+    default mode never does."""
+    stored = spark.createDataFrame(
+        [("r/a", "f1.py", "s1"), ("r/a", "f2.py", "s2")],
+        "repo string, path string, sha256 string",
+    )
+    batch = _mini_corpus(spark, [("r/a", "f1.py", "c9", "py", "anything")])
+    p_default = plan_freshness(batch, stored)
+    assert p_default.n_deleted == 0 and p_default.deleted.count() == 0
+    p_full = plan_freshness(batch, stored, full_snapshot=True)
+    assert p_full.n_deleted == 1
+    assert [(r["repo"], r["path"]) for r in p_full.deleted.collect()] == [
+        ("r/a", "f2.py")
+    ]

@@ -164,3 +164,60 @@ def test_streaming_lsh_novelty_bucket_leaders(spark, tmp_path):
     write_batch([(9, base)], "b2")
     run_drain()
     assert rollup()[9] == (4, 0)
+
+
+def test_streaming_lsh_novelty_ttl_evicts_aged_buckets(spark, tmp_path):
+    """Directive r4-9: with ``ttl_minutes`` set the bucket-leader state is
+    EVICTED once aged out (processing-time timeout), so a re-send of old
+    content leads its buckets again — the state-size bound for an
+    unbounded ingest stream.  Eviction fires in a trigger where the aged
+    group receives no data (Structured Streaming timeout semantics), so
+    the middle batch carries unrelated text."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from web_based_search_engine_spark.streaming.stream import streaming_lsh_novelty
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ])
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{landing}/{name}"
+        )
+
+    def run_drain():
+        stream = spark.readStream.schema(schema).parquet(f"{landing}/*")
+        rows = streaming_lsh_novelty(
+            stream, "doc_id", "text", 16, 4, 3, ttl_minutes=0.01  # 600 ms
+        )
+        q = (rows.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    write_batch([(1, base)], "b1")
+    run_drain()
+    time.sleep(2)  # let the 600 ms TTL lapse
+    # trigger WITHOUT data for base's buckets: aged groups time out here
+    write_batch([(2, "completely unrelated filler words now")], "b2")
+    run_drain()
+    # re-send of the aged-out text: leads all its buckets AGAIN
+    write_batch([(3, base)], "b3")
+    run_drain()
+    got = {
+        r["doc_id"]: (r["n"], r["led"])
+        for r in spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum(F.col("led").cast("int")).alias("led"))
+        .collect()
+    }
+    assert got[1] == (4, 4)
+    assert got[3] == (4, 4), got  # state evicted -> doc 3 leads again

@@ -75,12 +75,15 @@ class FreshnessPlan:
     stale: DataFrame      # rows skipped (unchanged / not newer)
     n_fresh: int
     n_stale: int
+    deleted: DataFrame | None = None  # (repo, path) tombstones (full_snapshot)
+    n_deleted: int = 0
 
 
 def plan_freshness(
     new_corpus: DataFrame,
     stored_docs: DataFrame | None,
     mtime_col: str | None = None,
+    full_snapshot: bool = False,
 ) -> FreshnessPlan:
     """Split ``new_corpus`` into fresh vs stale rows.
 
@@ -102,7 +105,17 @@ def plan_freshness(
     revisions of the same file (maxFilesPerTrigger batching); without the
     collapse both rows would be "fresh", the stable-id join would fan out
     multiplicatively, and the doc would be double-counted in
-    postings/df/norms."""
+    postings/df/norms.
+
+    Deletes: with ``full_snapshot=True`` the batch is declared to be the
+    COMPLETE current corpus, so every stored key absent from it is a
+    TOMBSTONE — returned as ``plan.deleted`` (one (repo, path) row each)
+    for the upsert to purge at the same partition granularity as
+    replacements.  ``full_snapshot=False`` (default, and the only safe
+    setting for streaming micro-batches, which are inherently partial
+    views) never deletes — matching the reference, whose removeDocument
+    is only ever the remove-then-insert of re-indexing
+    (PostingIndex.java:93-115)."""
     have_new_mtime = bool(mtime_col) and mtime_col in new_corpus.columns
     w = Window.partitionBy(*UPSERT_KEY).orderBy(
         *([F.col(mtime_col).desc()] if have_new_mtime else []),
@@ -113,9 +126,19 @@ def plan_freshness(
         .where(F.col("_rev_rn") == 1)
         .drop("_rev_rn")
     )
+    empty_keys = new_corpus.select(*UPSERT_KEY).limit(0)
     if stored_docs is None:
         n = new_corpus.count()
-        return FreshnessPlan(new_corpus, new_corpus.limit(0), n, 0)
+        return FreshnessPlan(new_corpus, new_corpus.limit(0), n, 0, empty_keys, 0)
+    if full_snapshot:
+        deleted = (
+            stored_docs.select(*UPSERT_KEY)
+            .distinct()
+            .join(new_corpus.select(*UPSERT_KEY), UPSERT_KEY, "left_anti")
+        )
+        n_deleted = deleted.count()
+    else:
+        deleted, n_deleted = empty_keys, 0
 
     if have_new_mtime and mtime_col in stored_docs.columns:
         old = stored_docs.groupBy(*UPSERT_KEY).agg(
@@ -135,7 +158,7 @@ def plan_freshness(
         fresh_cond = F.col("_old_sha").isNull() | (F.col("_new_sha") != F.col("_old_sha"))
         fresh = joined.where(fresh_cond).drop("_old_sha", "_new_sha")
         stale = joined.where(~fresh_cond).drop("_old_sha", "_new_sha")
-    return FreshnessPlan(fresh, stale, fresh.count(), stale.count())
+    return FreshnessPlan(fresh, stale, fresh.count(), stale.count(), deleted, n_deleted)
 
 
 def incremental_update(
@@ -144,25 +167,33 @@ def incremental_update(
     new_corpus: DataFrame,
     cfg: IndexConfig | None = None,
     mtime_col: str | None = None,
+    full_snapshot: bool = False,
 ) -> BuildReport:
     """Upsert ``new_corpus`` into the stored index with freshness gating.
 
     Nothing fresh -> true no-op (no stage touched, W8 skip).  A complete
     stored index takes the partition-granular path; an incomplete one
-    (first build / partial checkpoint) falls back to the full builder."""
+    (first build / partial checkpoint) falls back to the full builder.
+
+    ``full_snapshot=True`` additionally DELETES every stored doc whose
+    (repo, path) is absent from ``new_corpus`` (plan_freshness tombstones)
+    — purged inside the same partition-granular transaction as the upsert:
+    only the term buckets and dbuckets the deleted docs touch are
+    rewritten, everything else hard-links into the new snapshot."""
     cfg = cfg or IndexConfig()
     stored = (
         storage.read_table(spark, "docs") if storage.has_table("docs") else None
     )
-    plan = plan_freshness(new_corpus, stored, mtime_col)
+    plan = plan_freshness(new_corpus, stored, mtime_col, full_snapshot)
 
     m = storage.manifest()
     m["metrics"].append(
-        {"stage": "incremental_plan", "fresh": plan.n_fresh, "stale": plan.n_stale}
+        {"stage": "incremental_plan", "fresh": plan.n_fresh, "stale": plan.n_stale,
+         "deleted": plan.n_deleted}
     )
     storage._commit_manifest(m)
 
-    if plan.n_fresh == 0:
+    if plan.n_fresh == 0 and plan.n_deleted == 0:
         # nothing newer: every stage skipped without invoking the builder
         done = [s for s in STAGES if storage.stage_done(s)]
         return BuildReport(
@@ -186,9 +217,12 @@ def incremental_update(
                 c for c in old_tok.columns
                 if c in set(fresh_prep.columns) and c not in ("doc_id", "dbucket")
             ]
-            keep_old = old_tok.join(
-                plan.fresh.select(*UPSERT_KEY), UPSERT_KEY, "left_anti"
-            ).select(*tok_cols)
+            gone_keys = plan.fresh.select(*UPSERT_KEY)
+            if plan.n_deleted:
+                gone_keys = gone_keys.unionByName(plan.deleted)
+            keep_old = old_tok.join(gone_keys, UPSERT_KEY, "left_anti").select(
+                *tok_cols
+            )
             fresh_tok = fresh_prep.select(*tok_cols)
             storage.invalidate_from(list(STAGES))
             return IndexBuilder(spark, storage, cfg).build_from_prepared(
@@ -252,9 +286,25 @@ def _partition_granular_upsert(
     fresh_tok = P.with_doc_ids(fresh_prepared, cfg, ids=ids).persist()
 
     fresh_doc_ids = fresh_tok.select("doc_id")
-    changed_dbuckets = sorted(
+    changed = {
         r["dbucket"] for r in fresh_tok.select("dbucket").distinct().collect()
-    )
+    }
+    # tombstones (full_snapshot): deleted docs' rows must leave every table
+    # the same way a replaced doc's old rows do — fold their ids into the
+    # remove set and their dbuckets into the rewrite set; partitions no
+    # deleted or fresh doc touches stay hard-linked
+    gone_keys = fresh_tok.select(*UPSERT_KEY)
+    remove_ids = fresh_doc_ids
+    if plan.n_deleted:
+        del_docs = (
+            docs_old.join(plan.deleted, UPSERT_KEY, "left_semi")
+            .select("doc_id", "dbucket")
+            .persist()
+        )
+        changed |= {r["dbucket"] for r in del_docs.select("dbucket").distinct().collect()}
+        gone_keys = gone_keys.unionByName(plan.deleted)
+        remove_ids = remove_ids.unionByName(del_docs.select("doc_id"))
+    changed_dbuckets = sorted(changed)
 
     with storage.batch():
         # ---- corpus_tok: rewrite changed dbuckets ------------------------
@@ -262,7 +312,7 @@ def _partition_granular_upsert(
         tok_cols = tok_old.columns
         tok_keep = (
             tok_old.where(F.col("dbucket").isin(changed_dbuckets))
-            .join(fresh_tok.select(*UPSERT_KEY), UPSERT_KEY, "left_anti")
+            .join(gone_keys, UPSERT_KEY, "left_anti")
         )
         storage.write_table_partitions(
             tok_keep.select(*tok_cols).unionByName(fresh_tok.select(*tok_cols)),
@@ -277,7 +327,7 @@ def _partition_granular_upsert(
         # changed dbuckets — partition-pruned lookup of their old term_ids
         old_tids = (
             fwd_old.where(F.col("dbucket").isin(changed_dbuckets))
-            .join(fresh_doc_ids, "doc_id", "left_semi")
+            .join(remove_ids, "doc_id", "left_semi")
             .select(F.explode("term_tfs").alias("e"))
             .select(F.col("e.term_id").alias("term_id"))
             .distinct()
@@ -315,7 +365,7 @@ def _partition_granular_upsert(
         post_old = storage.read_table(spark, "postings")
         post_keep = (
             post_old.where(F.col("bucket").isin(touched_buckets))
-            .join(fresh_doc_ids, "doc_id", "left_anti")
+            .join(remove_ids, "doc_id", "left_anti")
         )
         pcols = ["term_id", "doc_id", "bucket", "title_tf", "body_tf",
                  "title_pos", "body_pos"]
@@ -342,7 +392,7 @@ def _partition_granular_upsert(
         # ---- forward: rewrite changed dbuckets ---------------------------
         fwd_keep = (
             fwd_old.where(F.col("dbucket").isin(changed_dbuckets))
-            .join(fresh_doc_ids, "doc_id", "left_anti")
+            .join(remove_ids, "doc_id", "left_anti")
         )
         fwd_fresh = P.forward_frame(fresh_post, cfg.num_doc_buckets)
         fcols = ["doc_id", "term_tfs", "dbucket"]
@@ -387,7 +437,7 @@ def _partition_granular_upsert(
             dcols = docs_old.columns
             docs_keep = (
                 docs_old.where(F.col("dbucket").isin(changed_dbuckets))
-                .join(fresh_doc_ids, "doc_id", "left_anti")
+                .join(remove_ids, "doc_id", "left_anti")
             )
             docs_fresh = (
                 fresh_tok.drop("title_terms", "body_terms", "refs", "module")
@@ -422,6 +472,8 @@ def _partition_granular_upsert(
 
     fresh_tok.unpersist()
     term_map.unpersist()
+    if plan.n_deleted:
+        del_docs.unpersist()
     run = [s for s in STAGES if s != "postings_raw"]
     return BuildReport(
         stages_run=run,

@@ -168,6 +168,7 @@ def streaming_lsh_novelty(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    ttl_minutes: float | None = None,
 ):
     """Custom stateful operator #2: streaming NEAR-dup triage — per-doc
     (band, led) rows where ``led`` marks the doc as the first-ever
@@ -188,7 +189,13 @@ def streaming_lsh_novelty(
 
     State per bucket: one boolean — the same O(distinct buckets) memory
     story as streaming_exact_dedup, sharded by the (band, band_key)
-    grouping across executors and checkpointed with the query.  The
+    grouping across executors and checkpointed with the query.  Without a
+    bound that set grows O(distinct buckets) FOREVER; ``ttl_minutes``
+    gives it the same processing-time-timeout eviction as
+    streaming_exact_dedup — an expired bucket forgets its leader, so the
+    next arrival leads again (the standard TTL re-admit trade-off; at
+    ingest scale the TTL is the novelty horizon: "near-dup of anything
+    seen in the last H hours").  None keeps state forever.  The
     signature/banding math is the SAME pure-Catalyst md5 family as batch
     MinHash, so stream and batch candidates cannot drift.
     """
@@ -203,6 +210,7 @@ def streaming_lsh_novelty(
         id_col, "_t", num_hashes, shingle_k,
     )
     banded = _banded(sigs, id_col, num_hashes, bands)
+    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), True),
@@ -214,8 +222,8 @@ def streaming_lsh_novelty(
     def bucket_leader(key, pdfs, state):
         import pandas as pd
 
-        if state.hasTimedOut:  # pragma: no cover - no timeout configured
-            state.remove()
+        if state.hasTimedOut:
+            state.remove()  # aged-out bucket: next arrival leads again
             return
         rows = [pdf for pdf in pdfs if len(pdf)]
         if not rows:
@@ -226,14 +234,21 @@ def streaming_lsh_novelty(
         if not state.exists:
             led[0] = True  # first-ever arrival in this bucket
             state.update((True,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
         out = pdf[[id_col, "band"]].copy()
         out["led"] = led
         yield out
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return banded.groupBy("band", "band_key").applyInPandasWithState(
         bucket_leader,
         out_schema,
         "occupied boolean",
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )
