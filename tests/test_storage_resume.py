@@ -4,6 +4,7 @@ manifest carries per-stage lineage + metrics; ids are dense/deterministic."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from web_based_search_engine_spark import fixtures
@@ -148,3 +149,118 @@ def test_build_invariant_to_parallelism(spark, tmp_path):
     for name in narrow[0]:
         assert narrow[0][name] == wide[0][name], f"table {name} diverged"
     assert narrow[1] == wide[1]
+
+
+# ---------------------------------------------------------------------------
+# IcebergStorage dispatch contract (directive r4-5): the sandbox has no
+# iceberg-spark-runtime jar, so these drive the class against a MOCKED
+# catalog and pin the dispatch — table identifiers, partition specs, and
+# which DataFrameWriterV2 verb each method calls.  The class is tested
+# code; only the jar-loaded integration is out of sandbox reach.
+# ---------------------------------------------------------------------------
+
+
+class _FakeWriterV2:
+    def __init__(self, log, table):
+        self.log, self.table = log, table
+
+    def partitionedBy(self, *cols):
+        self.log.append(("partitionedBy", self.table, [str(c) for c in cols]))
+        return self
+
+    def createOrReplace(self):
+        self.log.append(("createOrReplace", self.table))
+
+    def overwritePartitions(self):
+        self.log.append(("overwritePartitions", self.table))
+
+
+class _FakeDF:
+    def __init__(self, log):
+        self.log = log
+
+    def writeTo(self, table):
+        self.log.append(("writeTo", table))
+        return _FakeWriterV2(self.log, table)
+
+
+class _FakeCatalog:
+    def __init__(self, log, existing):
+        self.log, self.existing = log, existing
+
+    def tableExists(self, full):
+        self.log.append(("tableExists", full))
+        return full in self.existing
+
+
+class _FakeSpark:
+    def __init__(self, existing=(), namespace_fails=False):
+        self.log = []
+        self.catalog = _FakeCatalog(self.log, set(existing))
+        self.namespace_fails = namespace_fails
+
+    def sql(self, q):
+        self.log.append(("sql", q))
+        if self.namespace_fails:
+            raise Exception("catalog 'ice' not found")
+
+    def table(self, full):
+        self.log.append(("table", full))
+        return f"df:{full}"
+
+
+def test_iceberg_storage_write_read_dispatch(spark):  # F.col needs a live SparkContext
+    from web_based_search_engine_spark.sources.catalog import IcebergStorage
+
+    fs = _FakeSpark()
+    st = IcebergStorage(fs, "ice.idx")
+    assert ("sql", "CREATE NAMESPACE IF NOT EXISTS ice.idx") in fs.log
+
+    df = _FakeDF(fs.log)
+    full = st.write_table(df, "postings", partition_by=["bucket"])
+    assert full == "ice.idx.postings"
+    assert ("writeTo", "ice.idx.postings") in fs.log
+    pb = [e for e in fs.log if e[0] == "partitionedBy"]
+    assert pb == [("partitionedBy", "ice.idx.postings", ["Column<'bucket'>"])]
+    assert ("createOrReplace", "ice.idx.postings") in fs.log
+    # full-table replace must NOT go through partition overwrite
+    assert all(e[0] != "overwritePartitions" for e in fs.log)
+
+    assert st.read_table(fs, "vocab") == "df:ice.idx.vocab"
+    assert ("table", "ice.idx.vocab") in fs.log
+
+
+def test_iceberg_storage_partition_overwrite_dispatch():
+    """The upsert path's partition-granular rewrite maps to Iceberg dynamic
+    partition overwrite — overwritePartitions(), never createOrReplace
+    (which would drop the untouched partitions)."""
+    from web_based_search_engine_spark.sources.catalog import IcebergStorage
+
+    fs = _FakeSpark(existing={"ice.idx.postings"})
+    st = IcebergStorage(fs, "ice.idx")
+    df = _FakeDF(fs.log)
+    full = st.write_table_partitions(df, "postings", ["bucket"], [0, 3])
+    assert full == "ice.idx.postings"
+    assert ("writeTo", "ice.idx.postings") in fs.log
+    assert ("overwritePartitions", "ice.idx.postings") in fs.log
+    assert all(e[0] != "createOrReplace" for e in fs.log)
+
+    assert st.has_table("postings") is True
+    assert st.has_table("vocab") is False
+    assert ("tableExists", "ice.idx.vocab") in fs.log
+
+
+def test_iceberg_storage_guards():
+    """Constructor fails LOUDLY without a catalog (no silent fallback to a
+    session-local default); malformed table names never reach SQL; batch()
+    refuses rather than silently downgrading cross-table atomicity."""
+    from web_based_search_engine_spark.sources.catalog import IcebergStorage
+
+    with pytest.raises(RuntimeError, match="Iceberg catalog unavailable"):
+        IcebergStorage(_FakeSpark(namespace_fails=True), "ice.idx")
+
+    st = IcebergStorage(_FakeSpark(), "ice.idx")
+    with pytest.raises(ValueError, match="invalid table name"):
+        st.write_table(_FakeDF([]), "postings; DROP TABLE x")
+    with pytest.raises(NotImplementedError, match="per table"):
+        st.batch()
