@@ -114,6 +114,12 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
         "search_rare": "rare0004x nationalism",
         "search_phrase": 'posting "searching engines" index_builder',
         "search_broad": "agreed happy flies searching engines running posting scoring cats does",
+        # adversarial WAND shape (directive r4-7): one Zipf-head term with
+        # df ~ 0.5*N ("agreed": measured 0.44*N raw df in the fixture
+        # corpus) + one high-idf rare term — the case block-max pruning
+        # exists for; losslessness + decode-count evidence is pinned in
+        # tests/test_rank_identity.py::test_wand_zipf_head_pruning_engages
+        "search_zipf_head": "agreed rare0007x",
     }
     reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "5"))
     samples: list[float] = []

@@ -230,3 +230,61 @@ def test_wand_persist_registry_bounds_cache_to_one_query(spark, built_index):
                  persist_registry=registry).collect()
     assert len(registry) == 1 and registry[0] is not first
     assert not first.storageLevel.useMemory  # previous query released
+
+
+def test_wand_zipf_head_pruning_engages(spark, tmp_path):
+    """Directive r4-7: adversarial hot-term query — one term with
+    df = 0.5*N.  Block-max pruning must ENGAGE (blocks decoded << candidate
+    blocks: the hot term's tf=1 blocks are bounded below the threshold set
+    by the few high-tf docs) and stay lossless (pruned top-k == exhaustive
+    top-k, scores bit-equal)."""
+    from web_based_search_engine_spark import fixtures
+    from web_based_search_engine_spark.config import IndexConfig
+    from web_based_search_engine_spark.operators import wand as W
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+
+    n = 1280
+    pad = "pad0 pad1 pad2 pad3 pad4 pad5 pad6"
+    rows = []
+    for i in range(n):
+        if i < 10:          # the docs that set a high threshold: rare term
+            body = "zzrare " + " ".join(["zzhot"] * 16)
+        elif i < n // 2:    # hot term tf=1 -> weak block bounds
+            body = "zzhot " + pad
+        else:
+            body = "pad7 " + pad
+        rows.append(("r/z", f"d{i:05d}.py", "c1", "py", body))
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    cfg = IndexConfig(num_term_buckets=2, block_size=16)
+    IndexBuilder(spark, storage, cfg).build(
+        spark.createDataFrame(rows, fixtures.CORPUS_SCHEMA)
+    )
+    blocks = storage.read_table(spark, "blocks")
+    docs = storage.read_table(spark, "docs")
+    vocab = storage.read_table(spark, "vocab")
+    st = storage.read_table(spark, "stats").collect()[0]
+    # the head term really has df = 0.5*N
+    vrow = {r["term"]: r["df"] for r in vocab.collect()}
+    assert vrow["zzhot"] == n // 2 and vrow["zzrare"] == 10
+
+    stats: dict = {}
+    pruned = W.wand_top_k(
+        blocks, docs, vocab, ["zzhot", "zzrare"], st["n_docs"],
+        st["avg_doc_len"], prune=True, k=10, stats=stats,
+    ).collect()
+    full = W.wand_top_k(
+        blocks, docs, vocab, ["zzhot", "zzrare"], st["n_docs"],
+        st["avg_doc_len"], prune=False, k=10,
+    ).collect()
+    # lossless
+    assert [(r["doc_id"], round(r["score"], 12)) for r in pruned] == [
+        (r["doc_id"], round(r["score"], 12)) for r in full
+    ]
+    # pruning ENGAGED: ~40 hot blocks + 1 rare block in the candidate set;
+    # every tf=1-only hot block is bounded out, so the decode is a small
+    # fraction of the scan an exhaustive evaluation would pay
+    assert stats["pruned"] is True
+    assert stats["candidate_blocks"] >= 30, stats
+    assert stats["decoded_blocks"] * 2 <= stats["candidate_blocks"], stats
+    assert stats["tau"] > 0

@@ -103,6 +103,7 @@ def wand_top_k(
     bounds_cache: dict[int, tuple[float, int]] | None = None,
     persist_registry: list[DataFrame] | None = None,
     k: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a disjunctive BM25 query over the block
     index.  ``prune=False`` gives the exhaustive scorer over the same
@@ -121,7 +122,12 @@ def wand_top_k(
     instead of leaking one per query to LRU eviction.
     ``k``: result size (defaults to cfg.top_k) — both the pruning
     threshold (k-th seed score) and the final cut honor it, so callers
-    requesting k > cfg.top_k are not silently capped."""
+    requesting k > cfg.top_k are not silently capped.
+    ``stats``: pass a dict to receive pruning evidence —
+    {"pruned": bool, "candidate_blocks", "decoded_blocks", "tau"} (block
+    counts cost two extra count jobs over the already-persisted candidate
+    metadata, paid only when requested; decoded == candidate when pruning
+    is off)."""
     cfg = cfg or ScoringConfig()
     k = cfg.top_k if k is None else k  # explicit k=0 means 0 rows, not default
     assert cfg.scorer == "bm25", "WAND upper bounds require the additive BM25 scorer"
@@ -162,6 +168,12 @@ def wand_top_k(
         prune = est_blocks > 2048
 
     if not prune:
+        if stats is not None:
+            n = cand.count()
+            stats.update(
+                {"pruned": False, "candidate_blocks": n, "decoded_blocks": n,
+                 "tau": None}
+            )
         return top_k(
             _score_decoded(
                 B.decode_blocks(cand), docs, df_map, n_docs, avg_doc_len, cfg, candidates
@@ -230,6 +242,11 @@ def wand_top_k(
         *[x for tid in term_ids for x in (F.lit(tid), F.lit(total_gub - gub[tid]))]
     )
     keep = cand.where(ub + other_max[F.col("term_id")] >= F.lit(tau))
+    if stats is not None:
+        stats.update(
+            {"pruned": True, "candidate_blocks": cand.count(),
+             "decoded_blocks": keep.count(), "tau": tau}
+        )
     scored = _score_decoded(
         B.decode_blocks(keep), docs, df_map, n_docs, avg_doc_len, cfg, candidates
     )
