@@ -819,26 +819,12 @@ def _q_proximity(spark, sf_dir):
     """Proximity retrieval (beyond-reference): docs whose body contains all
     of PROX_TERMS within a PROX_WINDOW-token span, with the exact minimal
     cover window as the ranking signal — the operators/phrase.py
-    ``min_cover_expr`` fold over the raw (unstemmed) tokens twin."""
-    from web_based_search_engine_spark.operators import phrase as PH
-
-    tv = A.tokens_view(_docs(spark, sf_dir), "doc_id", "text", RAW)
-    per = None
-    for i, t in enumerate(PROX_TERMS):
-        d = (
-            tv.where(F.col("term") == t)
-            .groupBy("doc_id")
-            .agg(F.collect_list(F.col("pos").cast("int")).alias(f"_p{i}"))
-        )
-        per = d if per is None else per.join(d, "doc_id")
-    merged = F.flatten(
-        F.array(*[PH.tag_positions(F.col(f"_p{i}"), i) for i in range(len(PROX_TERMS))])
-    )
-    out = per.select(
-        "doc_id", PH.min_cover_expr(merged, len(PROX_TERMS)).alias("min_window")
-    )
-    return out.where(F.col("min_window") <= PROX_WINDOW).select(
-        "doc_id", F.col("min_window").cast("long").alias("min_window")
+    ``min_cover_expr`` fold over the raw (unstemmed) tokens.  r4 shape:
+    one narrow codegen scan (adhoc.proximity_adhoc — indexed transform +
+    filter + per-row fold), replacing the posexplode -> 3x collect_list ->
+    2-join plan that made this the slowest non-iterative query."""
+    return A.proximity_adhoc(
+        _docs(spark, sf_dir), PROX_TERMS, PROX_WINDOW, "doc_id", "text", RAW
     )
 
 

@@ -261,3 +261,67 @@ def test_k_zero_with_forced_wand_prune(spark, built_index):
         prune=True, k=0,
     )
     assert out.count() == 0
+
+
+def test_proximity_adhoc_matches_bruteforce(spark):
+    """Index-free proximity (adhoc.proximity_adhoc, the q48 shape): the
+    single-scan transform+filter+fold plan must agree with a brute-force
+    Python minimal-cover over the same RAW tokenization, including
+    missing-term docs, duplicate query terms, and the window cutoff."""
+    import random
+    import re
+
+    from web_based_search_engine_spark.config import AnalysisConfig
+    from web_based_search_engine_spark.operators import adhoc as A
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "filler", "pad", "x1"]
+    rows = []
+    for doc in range(40):
+        n = rng.randrange(3, 30)
+        rows.append((doc, " ".join(rng.choice(vocab) for _ in range(n))))
+    # hand-planted edge docs
+    rows += [
+        (100, "alpha beta gamma"),                  # window 3 exactly
+        (101, "alpha alpha beta"),                  # missing gamma
+        (102, ""),                                  # empty text
+        (103, "gamma pad pad pad alpha pad beta"),  # cover 7 spanning ends
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms, window = ["alpha", "beta", "gamma"], 8
+
+    def brute(text):
+        toks = [t for t in re.split(r"[^a-z0-9_-]+", text.lower()) if t]
+        occ = [(p, terms.index(t)) for p, t in enumerate(toks) if t in terms]
+        if {t for _, t in occ} != set(range(len(terms))):
+            return None
+        best = 1 << 30
+        for i in range(len(occ)):
+            seen = set()
+            for j in range(i, len(occ)):
+                seen.add(occ[j][1])
+                if len(seen) == len(terms):
+                    best = min(best, occ[j][0] - occ[i][0] + 1)
+                    break
+        return best if best <= window else None
+
+    want = {d: w for d, t in rows if (w := brute(t)) is not None for d in [d]}
+    got = {
+        r["doc_id"]: r["min_window"]
+        for r in A.proximity_adhoc(
+            df, terms, window, "doc_id", "text", AnalysisConfig.raw()
+        ).collect()
+    }
+    assert got == want
+    assert got[100] == 3 and 101 not in got and 102 not in got and got[103] == 7
+    # duplicate query terms behave as the set
+    dup = {
+        r["doc_id"]: r["min_window"]
+        for r in A.proximity_adhoc(
+            df, ["alpha", "alpha", "beta", "gamma"], window
+        ).collect()
+    }
+    assert dup == got
+    # empty terms -> empty frame with the contract schema
+    e = A.proximity_adhoc(df, [], window)
+    assert e.count() == 0 and e.columns == ["doc_id", "min_window"]

@@ -126,3 +126,65 @@ def bm25_adhoc_topk(
         .agg(F.round(F.sum("_partial"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def proximity_adhoc(
+    df: DataFrame,
+    terms: list[str],
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: AnalysisConfig | None = None,
+) -> DataFrame:
+    """Index-free proximity retrieval: docs whose ``text_col`` contains ALL
+    ``terms`` within a ``window``-token span -> (doc_id, min_window).
+
+    Same semantics as operators/phrase.proximity_windows restricted to one
+    field, but computed in ONE narrow codegen scan: tag each matching token
+    with (position, term-id) via an indexed ``transform`` + ``filter`` over
+    the analyzed array, then run the exact minimal-cover fold
+    (phrase.min_cover_expr) per row.  No explode, no group-by, no join —
+    the per-term posting materialization the previous shape paid (k
+    collect_list shuffles + a k-way equi-join) is gone, so at 100 TB this
+    is a pure map stage whose cost is the tokenizer scan it shares with
+    every other corpus statistic.
+
+    ``array_contains`` pre-filters docs missing any term so the tag+fold
+    work runs only on candidate docs (for selective terms that is a tiny
+    fraction of the corpus, and the filter itself is codegen over the same
+    array — no second tokenizer pass).
+    """
+    from .phrase import min_cover_expr
+
+    cfg = cfg or AnalysisConfig.raw()
+    uniq = list(dict.fromkeys(terms))
+    k = len(uniq)
+    spark = df.sparkSession
+    if k == 0:
+        return spark.createDataFrame([], "doc_id long, min_window long")
+
+    d = df.select(F.col(id_col).alias("doc_id"), analyze(text_col, cfg).alias("_toks"))
+    present = F.array_contains("_toks", uniq[0])
+    for t in uniq[1:]:
+        present = present & F.array_contains("_toks", t)
+    d = d.where(present)
+
+    def tid_of(x):
+        e = F.lit(-1)
+        for i in range(k - 1, -1, -1):
+            e = F.when(x == uniq[i], F.lit(i)).otherwise(e)
+        return e
+
+    merged = F.filter(
+        F.transform(
+            "_toks",
+            lambda x, i: F.struct(
+                i.cast("int").alias("pos"), tid_of(x).cast("int").alias("tid")
+            ),
+        ),
+        lambda s: s["tid"] >= 0,
+    )
+    out = d.select("doc_id", min_cover_expr(merged, k).alias("min_window"))
+    return out.where(F.col("min_window") <= window).select(
+        "doc_id", F.col("min_window").cast("long").alias("min_window")
+    )
