@@ -82,12 +82,18 @@ def test_encoders_byte_identical():
             got_pdf = B.encode_group_pdf(pdf.copy(), block_size)
             tbl = pa.Table.from_pandas(pdf, preserve_index=False)
             got_arrow = B.encode_group_arrow(tbl, block_size).to_pandas()
+            def norm(v):
+                # list columns round-trip as ndarray cells via Arrow
+                return [int(x) for x in v] if isinstance(v, (list, np.ndarray)) else v
+
             for got in (got_pdf, got_arrow):
                 g = got.sort_values(["term_id", "block_id"]).reset_index(drop=True)
                 w = want.sort_values(["term_id", "block_id"]).reset_index(drop=True)
                 assert len(g) == len(w) and len(g) > 0
                 for col in want.columns:
-                    assert g[col].tolist() == w[col].tolist(), (seed, block_size, col)
+                    assert [norm(v) for v in g[col]] == [norm(v) for v in w[col]], (
+                        seed, block_size, col,
+                    )
 
 
 def test_decoder_arrow_matches_pdf():

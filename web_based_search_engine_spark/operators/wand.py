@@ -27,7 +27,8 @@ onto a shared-nothing scan):
    global_ub(t) = max over t's blocks of ub(t, b), computed by a tiny agg
    over the bucket-pruned block *metadata* (binary columns never read) and
    memoized per term in the engine's ``bounds_cache``.
-3. decode surviving blocks (mapInArrow, cross-block vectorized varint) ->
+3. decode surviving blocks (pure-JVM ``explode(arrays_zip(...))`` — the
+   scoring streams are plain list columns, see blocks.py docstring) ->
    per-posting BM25 -> groupBy(doc_id).sum -> deterministic top-k.
 
 Upper bounds hold only for the additive BM25 scorer (the reference scorer's
@@ -161,11 +162,14 @@ def wand_top_k(
     # pruned scan) costs more than decoding everything once.
     if prune == "auto":
         est_blocks = sum((r["df"] + 127) // 128 for r in qt)
-        # crossover measured on local[32]/sf0.1: the pruning dance adds two
-        # driver jobs (~0.6-0.9 s); decoding ~2k blocks (~256k postings)
-        # costs about the same, so prune only above that.  At cluster scale
+        # crossover re-measured on local[32]/sf0.1 after the decode went
+        # pure-JVM (blocks.py): the pruning dance adds two driver jobs
+        # (~0.5-0.6 s measured: forced-prune 1.21-1.30 s vs exhaustive
+        # 0.68-0.72 s at 192-378 blocks), while the codegen'd
+        # explode-decode's marginal cost is ~negligible below ~2M postings.
+        # So prune only above ~16k blocks (~2M postings).  At cluster scale
         # hot terms have millions of blocks and pruning always engages.
-        prune = est_blocks > 2048
+        prune = est_blocks > 16384
 
     if not prune:
         if stats is not None:
