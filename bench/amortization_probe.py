@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Build-amortization probe (round-4 directive 3).
+
+BASELINE.md's scaling section diagnoses the >4-core efficiency gap as
+per-executor CONSTANT work (broadcast deserialization, python-worker
+spin-up, cold whole-stage-codegen JIT) multiplied by ~100 short stages —
+a cost that amortizes as stages get longer, i.e. as input grows.  Round
+3's evidence for that claim was ONE noisy 200k-doc repeat.  This probe
+makes it systematic: the SAME stage-timed build (identical IndexConfig,
+identical shuffle partitions, identical master) at 200k and 400k docs,
+interleaved (200k, 400k, 200k, 400k ...) so host drift hits both sizes
+equally, bracketed by pure-CPU ceiling probes (tools/cpu_ceiling.py) so
+a loaded host is visible in the artifact instead of silently eaten by
+one leg.
+
+Amortization holds if per-doc throughput at 400k is flat-or-better than
+at 200k (docs_per_sec ratio >= ~1.0); the per-stage per-doc costs name
+the stage that degrades if it is not.
+
+Output: one JSON line; also written to bench/amortization_r4.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def ceiling() -> dict:
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "cpu_ceiling.py")],
+        capture_output=True, text=True,
+    )
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def one_build(master: str, n_docs: int, token_mult: int) -> dict:
+    code = (
+        "import json,sys; sys.path.insert(0, %r);"
+        "from bench import build_only_run;"
+        "r = build_only_run(%r, %d, %d);"
+        "print('@@' + json.dumps(r))"
+    ) % (REPO, master, n_docs, token_mult)
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO,
+    )
+    marked = [ln for ln in p.stdout.splitlines() if ln.startswith("@@")]
+    if p.returncode != 0 or not marked:
+        raise RuntimeError(
+            f"build leg {master}/{n_docs} failed (rc={p.returncode});"
+            f" stderr tail:\n{p.stderr[-4000:]}"
+        )
+    return json.loads(marked[-1][2:])
+
+
+def main() -> None:
+    master = os.environ.get(
+        "SPARK_GRAFT_AMORT_MASTER", "local-cluster[8,1,4096]"
+    )
+    sizes = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_AMORT_SIZES", "200000,400000").split(",")
+    ]
+    trials = int(os.environ.get("SPARK_GRAFT_AMORT_TRIALS", "2"))
+    token_mult = int(os.environ.get("SPARK_GRAFT_AMORT_TOKEN_MULT", "4"))
+
+    out: dict = {"master": master, "sizes": sizes, "trials": trials,
+                 "token_mult": token_mult, "ceiling_before": ceiling()}
+    runs: dict[int, list[dict]] = {n: [] for n in sizes}
+    for t in range(trials):
+        for n in sizes:
+            r = one_build(master, n, token_mult)
+            runs[n].append(r)
+            print(f"# trial {t} n_docs={n}: {r['build_sec']} s "
+                  f"({r['docs_per_sec']} docs/s)", file=sys.stderr)
+    out["ceiling_after"] = ceiling()
+
+    detail = {}
+    for n in sizes:
+        best = max(runs[n], key=lambda r: r["docs_per_sec"])
+        # per-doc stage cost in microseconds, from the best (quietest) trial
+        stage_us = {
+            k: round(v * 1e6 / n, 2)
+            for k, v in (best.get("stage_seconds") or {}).items()
+        }
+        detail[str(n)] = {
+            "best_build_sec": best["build_sec"],
+            "best_docs_per_sec": best["docs_per_sec"],
+            "all_docs_per_sec": [r["docs_per_sec"] for r in runs[n]],
+            "stage_seconds_best": best.get("stage_seconds"),
+            "stage_us_per_doc_best": stage_us,
+        }
+    lo, hi = sizes[0], sizes[-1]
+    # paired per-round throughput ratios (hi/lo), same rationale as
+    # bench.scaling_run: interleaving cancels slow host drift
+    paired = [
+        round(h["docs_per_sec"] / l["docs_per_sec"], 3)
+        for l, h in zip(runs[lo], runs[hi])
+    ]
+    lo_best, hi_best = detail[str(lo)], detail[str(hi)]
+    stage_ratio = {}
+    for k, v in hi_best["stage_us_per_doc_best"].items():
+        base = lo_best["stage_us_per_doc_best"].get(k)
+        if base:
+            stage_ratio[k] = round(v / base, 3)
+    out.update(
+        detail=detail,
+        throughput_ratio_best=round(
+            hi_best["best_docs_per_sec"] / lo_best["best_docs_per_sec"], 3
+        ),
+        throughput_ratio_paired=paired,
+        stage_us_per_doc_ratio_hi_over_lo=stage_ratio,
+        amortizes=hi_best["best_docs_per_sec"] >= 0.95 * lo_best["best_docs_per_sec"],
+    )
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(REPO, "bench", "amortization_r4.json"), "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,15 @@ def _get(port: int, path: str):
         return e.code, json.loads(e.read())
 
 
+def _get_html(port: int, path: str):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=60) as r:
+            assert r.headers["Content-Type"].startswith("text/html")
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
 def test_server_search_and_health(spark, built_index):
     qe = QueryEngine(spark, built_index["storage"], mode="blocks")
     srv = SearchServer(qe, port=0).start()  # ephemeral port
@@ -53,5 +62,52 @@ def test_server_search_and_health(spark, built_index):
         # malformed k is a CLIENT error (400), not a 500
         status, body = _get(srv.port, "/search?q=posting&k=abc")
         assert status == 400 and "integer" in body["error"]
+    finally:
+        srv.stop()
+
+
+def test_server_html_pages(spark, built_index):
+    """HTML parity routes (result.jte / index.jte analogs, server.py)."""
+    qe = QueryEngine(spark, built_index["storage"], mode="blocks")
+    srv = SearchServer(qe, port=0).start()
+    try:
+        # index page: form posting to /result with a `search` input
+        status, page = _get_html(srv.port, "/")
+        assert status == 200
+        assert "<title>Search Page</title>" in page
+        assert 'action="/result"' in page and 'name="search"' in page
+
+        # results page mirrors result.jte's DOM: headers with the analyzed
+        # stems, an <ol> of results with %.4f scores, keyword "term tf; "
+        # lines, parent/child link lists
+        q = urllib.parse.quote('searching "engines retrieval"')
+        status, page = _get_html(srv.port, f"/result?search={q}")
+        assert status == 200
+        assert "<title>Search Results</title>" in page
+        assert "<h1>Search Results</h1>" in page
+        assert "Search keywords: [" in page and "Search phrase: [" in page
+        # same docs, same order as the engine call the JSON route makes
+        rows = qe.search('searching "engines retrieval"', k=50).collect()
+        assert rows, "fixture query must match"
+        for r in rows:
+            assert f"{r['score']:.4f}" in page
+            assert r["path"] in page
+        assert "<p>Parent Links:</p>" in page and "<p>Child Links:</p>" in page
+        assert "Keywords: " in page
+
+        # no-hit query renders the empty-state paragraph, not an error
+        status, page = _get_html(
+            srv.port, "/result?search=" + urllib.parse.quote("zzqqxxyy0042")
+        )
+        assert status == 200 and "No matching document found." in page
+
+        # blank form submit re-prompts with the index page
+        status, page = _get_html(srv.port, "/result")
+        assert status == 200 and "<title>Search Page</title>" in page
+
+        # query text is HTML-escaped in the headers (no tag injection)
+        q = urllib.parse.quote('<script>alert(1)</script> posting')
+        status, page = _get_html(srv.port, f"/result?search={q}")
+        assert status == 200 and "<script>alert(1)" not in page
     finally:
         srv.stop()

@@ -1,7 +1,10 @@
 """HTTP search endpoint — the JavalinServer analog (JavalinServer.java:44-75).
 
-The reference serves an HTML page; the rebuild serves JSON (an engine, not
-a UI), but the request semantics are the same:
+The reference serves HTML pages rendered from jte templates; the rebuild
+serves BOTH: the same two HTML pages (``/`` = index.jte analog, ``/result``
+= result.jte analog, same DOM structure rendered from the assembled result
+rows) and a JSON API (``/search``) for programmatic callers.  The request
+semantics are the same either way:
 
 - one query string parameter carrying free text plus at most one quoted
   phrase (``"(.*)"`` greedy group, JavalinServer.java:55-61 — the parsing
@@ -19,12 +22,15 @@ concurrent actions, and the QueryEngine's driver-side term/bound caches are
 shared across requests, so repeated terms skip their lookup jobs.
 
 Routes:
-  GET /health              -> {"status": "ok", "n_docs": N}
-  GET /search?q=...&k=50   -> {"query": ..., "k": ..., "results": [...]}
+  GET /                       -> HTML search page (index.jte analog)
+  GET /result?search=...      -> HTML results page (result.jte analog)
+  GET /health                 -> {"status": "ok", "n_docs": N}
+  GET /search?q=...&k=50      -> {"query": ..., "k": ..., "results": [...]}
 """
 
 from __future__ import annotations
 
+import html
 import json
 import threading
 import urllib.parse
@@ -43,6 +49,80 @@ def _jsonable(v):
     return v
 
 
+_SEARCH_FORM = (
+    '<form action="/result">\n'
+    '<input type="text" name="search" placeholder="Enter your search query">\n'
+    '<input type="submit" value="Search">\n'
+    "</form>"
+)
+
+
+def render_index_page() -> str:
+    """index.jte analog: title + form posting to /result (index.jte:1-16)."""
+    return (
+        "<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n"
+        "<title>Search Page</title>\n</head>\n<body>\n"
+        "<h1>Search Page</h1>\n" + _SEARCH_FORM + "\n</body>\n</html>"
+    )
+
+
+def _link_list(paths) -> str:
+    items = "".join(
+        f'<li><a href="{html.escape(p, quote=True)}">{html.escape(p)}</a></li>\n'
+        for p in (paths or [])
+    )
+    return f"<ul>\n{items}</ul>"
+
+
+def render_result_page(keywords, phrase, rows) -> str:
+    """result.jte analog, same DOM structure (result.jte:1-48).
+
+    ``keywords``/``phrase`` are the analyzed (stemmed) query terms — the
+    reference's header shows keywordStems/phraseStems
+    (JavalinServer.java:50-64); ``rows`` are assembled SearchResult rows
+    (plans/query.py _assemble).  Field mapping to SearchResult.java: title
+    and url are the doc ``path`` (the corpus's title/identity field);
+    ``lastModified, pageSize`` renders as ``commit, size_bytes`` (the
+    version + byte-size metadata this corpus carries); keywords render
+    "term tf; " like topKeywordsToString (SearchResult.java:33-44);
+    parent/child links are the decoded neighbor paths."""
+    # Java's List/Set toString: [a, b, c]
+    kw_hdr = html.escape("[" + ", ".join(keywords) + "]")
+    ph_hdr = html.escape("[" + ", ".join(phrase) + "]")
+    parts = [
+        "<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n"
+        "<title>Search Results</title>\n</head>\n<body>\n",
+        _SEARCH_FORM,
+        "\n<h1>Search Results</h1>\n",
+        f"<h4>Search keywords: {kw_hdr}</h4>\n",
+        f"<h4>Search phrase: {ph_hdr}</h4>\n",
+        "<ol>\n",
+    ]
+    if not rows:
+        parts.append("<p>No matching document found.</p>\n")
+    for r in rows:
+        path = html.escape(r["path"] or "")
+        href = html.escape(r["path"] or "", quote=True)
+        kws = "".join(
+            f'{html.escape(k["term"])} {k["tf"]}; ' for k in (r["keywords"] or [])
+        )
+        size = r["size_bytes"] if "size_bytes" in r.__fields__ else r["body_len"]
+        parts.append(
+            "<li>\n"
+            f'<h3>{r["score"]:.4f} <a href="{href}">{path}</a></h3>\n'
+            f'<a href="{href}">{href}</a>\n'
+            f"<p>{html.escape(str(r['commit']))}, {size}</p>\n"
+            f"<p>Keywords: {kws}</p>\n"
+            "<p>Parent Links:</p>\n"
+            f"{_link_list(r['parent_paths'] if 'parent_paths' in r.__fields__ else None)}\n"
+            "<p>Child Links:</p>\n"
+            f"{_link_list(r['child_paths'] if 'child_paths' in r.__fields__ else None)}\n"
+            "</li>\n"
+        )
+    parts.append("</ol>\n</body>\n</html>")
+    return "".join(parts)
+
+
 def make_handler(engine):
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload: dict) -> None:
@@ -53,8 +133,42 @@ def make_handler(engine):
             self.end_headers()
             self.wfile.write(body)
 
+        def _html(self, code: int, page: str) -> None:
+            body = page.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):  # noqa: N802 (http.server API)
             parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/":
+                self._html(200, render_index_page())
+                return
+            if parsed.path == "/result":
+                from .plans.query import parse_query
+
+                qs = urllib.parse.parse_qs(parsed.query)
+                query = qs.get("search", [""])[0]
+                if not query:
+                    # empty form submit: render the index page again, like
+                    # hitting / (the reference would throw on a null param;
+                    # a blank re-prompt is the friendlier equivalent)
+                    self._html(200, render_index_page())
+                    return
+                try:
+                    pq = parse_query(query, engine.analysis)
+                    rows = engine.search(query, k=MAX_SEARCH_RESULTS).collect()
+                    self._html(200, render_result_page(pq.keywords, pq.phrase, rows))
+                except Exception as e:  # noqa: BLE001 — surface as HTTP 500
+                    self._html(
+                        500,
+                        "<!DOCTYPE html><html><body><h1>Error</h1><p>"
+                        + html.escape(str(e)[:500])
+                        + "</p></body></html>",
+                    )
+                return
             if parsed.path == "/health":
                 self._json(200, {"status": "ok", "n_docs": engine.n_docs})
                 return
