@@ -111,3 +111,35 @@ def test_server_html_pages(spark, built_index):
         assert status == 200 and "<script>alert(1)" not in page
     finally:
         srv.stop()
+
+
+def test_server_concurrent_requests(spark, built_index):
+    """Serving claim under load: Spark is thread-safe for concurrent
+    actions and the engine's driver-side term/phrase caches are shared
+    across requests (server.py module docstring) — N parallel requests
+    across JSON/HTML routes and query shapes must each return the same
+    payload as the identical sequential request."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    qe = QueryEngine(spark, built_index["storage"], mode="blocks")
+    srv = SearchServer(qe, port=0).start()
+    try:
+        shapes = [
+            "/search?q=" + urllib.parse.quote('searching "engines retrieval"') + "&k=5",
+            "/search?q=posting&k=3",
+            "/result?search=" + urllib.parse.quote("merge_sort index"),
+            "/health",
+        ] * 4  # 16 in-flight requests over 4 distinct shapes
+        sequential = [_raw(srv.port, p) for p in shapes[:4]]
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            concurrent = list(pool.map(lambda p: _raw(srv.port, p), shapes))
+        for i, (status, body) in enumerate(concurrent):
+            assert status == 200, shapes[i % 4]
+            assert body == sequential[i % 4][1], shapes[i % 4]
+    finally:
+        srv.stop()
+
+
+def _raw(port: int, path: str):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=120) as r:
+        return r.status, r.read()
