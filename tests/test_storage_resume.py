@@ -264,3 +264,60 @@ def test_iceberg_storage_guards():
         st.write_table(_FakeDF([]), "postings; DROP TABLE x")
     with pytest.raises(NotImplementedError, match="per table"):
         st.batch()
+
+
+def test_vacuum_expires_old_versions(spark, tmp_path):
+    """vacuum keeps the newest keep_last versions ending at the manifest's,
+    deletes older dirs, leaves hard-link-shared data readable, and is
+    idempotent (catalog.py vacuum; Iceberg expire_snapshots analog)."""
+    from pathlib import Path
+
+    st = ParquetIndexStorage(tmp_path / "idx")
+    for i in range(3):  # v1, v2, v3: full rewrites
+        df = spark.range(10 * (i + 1)).withColumn("b", F.col("id") % 2)
+        st.write_table(df, "t", partition_by=["b"])
+    # v4: partition-granular rewrite of b=0 — b=1 carried by hard links
+    df4 = spark.range(40).withColumn("b", F.col("id") % 2).where("b = 0")
+    st.write_table_partitions(df4, "t", ["b"], [0])
+    tdir = Path(st.root) / "tables" / "t"
+    assert sorted(p.name for p in tdir.iterdir()) == ["v1", "v2", "v3", "v4"]
+    # orphan of a crashed future commit: must be left alone
+    (tdir / "v9").mkdir()
+
+    stats = st.vacuum(keep_last=2)
+    assert stats["t"]["versions_deleted"] == [1, 2]
+    assert stats["t"]["files_unlinked"] > 0
+    assert sorted(p.name for p in tdir.iterdir()) == ["v3", "v4", "v9"]
+    # v4's hard-linked b=1 files (shared with v3) survived v1/v2 expiry;
+    # the table reads back complete through the manifest
+    got = st.read_table(spark, "t")
+    assert got.count() == 20 + 30 // 2  # b=0 from v4 (20 rows), b=1 from v3
+    # vacuum metric recorded
+    assert any(m.get("stage") == "vacuum" for m in st.manifest()["metrics"])
+
+    assert st.vacuum(keep_last=2) == {}  # idempotent
+    stats = st.vacuum(keep_last=1)  # now expire v3: v4's share keeps inodes
+    assert stats["t"]["versions_deleted"] == [3]
+    assert st.read_table(spark, "t").count() == 35
+    with pytest.raises(ValueError, match="keep_last"):
+        st.vacuum(keep_last=0)
+
+
+def test_iceberg_expire_snapshots_dispatch():
+    """expire_snapshots drives the Iceberg maintenance CALL with the
+    catalog prefix, a TIMESTAMP literal, and retain_last; rejects
+    injection-shaped timestamps and retain_last < 1."""
+    from web_based_search_engine_spark.sources.catalog import IcebergStorage
+
+    fs = _FakeSpark()
+    st = IcebergStorage(fs, "ice.idx")
+    st.expire_snapshots("postings", "2026-08-18 00:00:00", retain_last=3)
+    calls = [q for op, q in fs.log if op == "sql" and q.startswith("CALL")]
+    assert calls == [
+        "CALL ice.system.expire_snapshots(table => 'ice.idx.postings', "
+        "older_than => TIMESTAMP '2026-08-18 00:00:00', retain_last => 3)"
+    ]
+    with pytest.raises(ValueError, match="timestamp literal"):
+        st.expire_snapshots("postings", "2026-08-18'); DROP TABLE x; --")
+    with pytest.raises(ValueError, match="retain_last"):
+        st.expire_snapshots("postings", "2026-08-18 00:00:00", retain_last=0)

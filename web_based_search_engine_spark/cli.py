@@ -88,7 +88,13 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--damping", type=float, default=0.85)
     pg.add_argument("-n", type=int, default=20)
 
-    pv = sub.add_parser("server", help="JSON HTTP search endpoint (JavalinServer analog)")
+    pvac = sub.add_parser(
+        "vacuum", help="expire old index snapshot versions (keep the newest N)"
+    )
+    pvac.add_argument("--index", required=True)
+    pvac.add_argument("--keep-last", type=int, default=2)
+
+    pv = sub.add_parser("server", help="HTML + JSON HTTP search endpoint (JavalinServer analog)")
     pv.add_argument("--index", required=True)
     pv.add_argument("--host", default="127.0.0.1")
     pv.add_argument("--port", type=int, default=8321)
@@ -151,6 +157,17 @@ def main(argv: list[str] | None = None) -> int:
             .orderBy(F.desc("rank"), "doc_id")
             .show(args.n, truncate=60)
         )
+    elif args.cmd == "vacuum":
+        storage = ParquetIndexStorage(args.index)
+        stats = storage.vacuum(keep_last=args.keep_last)
+        if not stats:
+            print("nothing to expire")
+        for name, s in sorted(stats.items()):
+            print(
+                f"{name}: expired v{s['versions_deleted']}, "
+                f"{s['files_unlinked']} files unlinked, "
+                f"{s['bytes_freed']} bytes freed"
+            )
     elif args.cmd == "server":
         from .server import SearchServer
 

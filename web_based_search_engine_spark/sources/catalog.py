@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import threading
 import time
 from contextlib import contextmanager
@@ -288,6 +290,76 @@ class ParquetIndexStorage:
     def table_meta(self, name: str) -> dict[str, Any]:
         return self._effective_manifest()["tables"][name]
 
+    def vacuum(self, keep_last: int = 2) -> dict[str, Any]:
+        """Expire old table-version snapshots (Iceberg ``expire_snapshots``
+        analog).  Every ``write_table``/``write_table_partitions`` commit
+        leaves the previous version directory in place so readers holding
+        the old snapshot keep working; under continuous ingestion those
+        versions accumulate without bound — at 10^12 files this is the
+        storage-side leak that maintenance must bound.
+
+        For each manifest-listed table, keeps the newest ``keep_last``
+        versions ENDING at the manifest-referenced one and deletes every
+        older version directory.  Hard-link carry-over makes this cheap
+        and safe: a data file shared with a surviving version is an inode
+        with nlink>1, so unlinking the expired directory entry frees no
+        bytes until the last reference goes — ``bytes_freed`` counts only
+        files whose final link was removed.  ``keep_last>=2`` (default)
+        leaves one prior snapshot for engines that resolved paths just
+        before an upsert committed; size the window to the serving-refresh
+        SLA.  ``keep_last=1`` keeps only the current version.  Version
+        directories NEWER than the manifest (orphans of a crashed
+        mid-``batch()`` upsert) are left alone — a concurrent writer may
+        be mid-commit; re-running the upsert reuses or supersedes them.
+
+        Run from the maintenance owner, not concurrent with a writer
+        committing to the SAME table (the standard expire-vs-commit
+        discipline).  Idempotent; returns per-table stats and records a
+        ``vacuum`` metric in the manifest."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        stats: dict[str, Any] = {}
+        with self._lock:
+            m = self.manifest()
+        for name, entry in m["tables"].items():
+            current = int(entry["version"])
+            cutoff = current - keep_last + 1
+            tdir = self.root / "tables" / name
+            if not tdir.exists():
+                continue
+            deleted, files_unlinked, bytes_freed = [], 0, 0
+            for sub in sorted(tdir.iterdir()):
+                if not (sub.is_dir() and re.fullmatch(r"v\d+", sub.name)):
+                    continue
+                v = int(sub.name[1:])
+                if v >= cutoff:  # kept window, current, or newer orphan
+                    continue
+                for f in sub.rglob("*"):
+                    if f.is_file():
+                        st = f.stat()
+                        files_unlinked += 1
+                        if st.st_nlink == 1:
+                            bytes_freed += st.st_size
+                shutil.rmtree(sub)
+                deleted.append(v)
+            if deleted:
+                stats[name] = {
+                    "versions_deleted": deleted,
+                    "files_unlinked": files_unlinked,
+                    "bytes_freed": bytes_freed,
+                }
+        if stats:
+            self.add_metric({
+                "stage": "vacuum",
+                "keep_last": keep_last,
+                "tables": {
+                    n: {"versions_deleted": s["versions_deleted"],
+                        "bytes_freed": s["bytes_freed"]}
+                    for n, s in stats.items()
+                },
+            })
+        return stats
+
 
 class IcebergStorage:
     """The storage interface over an Iceberg catalog (``spark.sql.catalog.
@@ -365,4 +437,26 @@ class IcebergStorage:
             "Iceberg-on-Spark commits one snapshot per table; there is no "
             "cross-table transaction to expose — sequence the per-table "
             "commits (each atomic) or use ParquetIndexStorage's manifest"
+        )
+
+    def expire_snapshots(self, name: str, older_than: str, retain_last: int = 2):
+        """Snapshot expiry (``ParquetIndexStorage.vacuum`` analog): drives
+        Iceberg's maintenance procedure ``CALL <catalog>.system.
+        expire_snapshots(table, older_than, retain_last)``.  ``older_than``
+        is a ``TIMESTAMP`` literal body (e.g. ``'2026-08-18 00:00:00'``);
+        ``retain_last>=2`` keeps one prior snapshot for readers that
+        resolved just before the latest commit, the same retention posture
+        as the parquet backend's default."""
+        if retain_last < 1:
+            raise ValueError(f"retain_last must be >= 1, got {retain_last}")
+        # older_than is interpolated into a TIMESTAMP literal: refuse
+        # anything but a plain date/time string rather than quoting games
+        if not re.fullmatch(r"[0-9:\- .]+", older_than):
+            raise ValueError(f"older_than must be a timestamp literal, got {older_than!r}")
+        catalog = self.namespace.split(".")[0]
+        return self.spark.sql(
+            f"CALL {catalog}.system.expire_snapshots("
+            f"table => '{self._full(name)}', "
+            f"older_than => TIMESTAMP '{older_than}', "
+            f"retain_last => {retain_last})"
         )
