@@ -543,3 +543,45 @@ def test_plan_freshness_tombstones(spark):
     assert [(r["repo"], r["path"]) for r in p_full.deleted.collect()] == [
         ("r/a", "f2.py")
     ]
+
+
+def test_engine_refresh_cuts_over_to_new_snapshot(spark, tmp_path):
+    """Serving cutover (plans/query.py refresh): an engine is pinned to
+    the snapshot it loaded; after an upsert commits, refresh() — not a
+    process restart — drops the snapshot-derived caches and serves the
+    new snapshot.  Pairs with storage.vacuum(keep_last=2): the old
+    snapshot an in-flight query resolved stays on disk."""
+    rows = [
+        ("r/a", "f1.py", "c1", "py", "alpha beta alpha"),
+        ("r/a", "f2.py", "c1", "py", "gamma delta"),
+    ]
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(spark, storage, CFG).build(_mini_corpus(spark, rows))
+    qe = QueryEngine(spark, storage, mode="blocks")
+
+    assert qe.search("epsilon", assemble=False).count() == 0
+    before = {r["path"] for r in qe.search("alpha").collect()}
+    assert before == {"f1.py"}
+    assert qe._term_cache  # pinned-snapshot caches populated
+
+    incremental_update(
+        spark, storage,
+        _mini_corpus(spark, [("r/a", "f3.py", "c1", "py", "epsilon alpha")]),
+        CFG,
+    )
+    # still pinned: the upsert is invisible until refresh
+    assert qe.search("epsilon", assemble=False).count() == 0
+
+    qe.refresh()
+    assert not qe._term_cache and not qe._bounds_cache
+    got = {r["path"] for r in qe.search("epsilon").collect()}
+    assert got == {"f3.py"}
+    after = {r["path"] for r in qe.search("alpha").collect()}
+    assert after == {"f1.py", "f3.py"}
+    # stats rebind too (n_docs reflects the new corpus)
+    assert qe.n_docs == 3
+
+    # vacuum with the default retention, then query again: the refreshed
+    # engine reads the current snapshot, untouched by expiry
+    storage.vacuum(keep_last=2)
+    assert {r["path"] for r in qe.search("alpha").collect()} == {"f1.py", "f3.py"}

@@ -99,6 +99,35 @@ class QueryEngine:
         self.scoring = scoring or ScoringConfig()
         self.analysis = analysis or AnalysisConfig.full()
         self.mode = mode
+        self._load_snapshot()
+        # Driver-side term-dictionary cache (VERDICT r1 #7): term -> vocab
+        # row dict, or None for a confirmed-absent term.  Only terms that
+        # were actually queried are ever cached (the full vocabulary is
+        # never collected); the engine instance is pinned to the manifest
+        # version it loaded at init, so a rebuild means a new engine and a
+        # fresh cache.
+        self._term_cache: dict[str, dict | None] = {}
+        # term_id -> (gmax_wtf, gmin_len): WAND global-bound ingredients,
+        # filled lazily by wand_top_k (one block-metadata agg per cold term)
+        self._bounds_cache: dict[int, tuple[float, int]] = {}
+        # phrase terms -> materialized doc-id set (the filter half of a
+        # query result cache — standard serving-tier practice; sound here
+        # because the engine is pinned to the manifest version it loaded,
+        # see _term_cache note above).  Entries are persisted DataFrames of
+        # doc ids (small: docs containing the whole phrase), LRU-bounded;
+        # eviction unpersists.  Scoring is NOT cached — k and the keyword
+        # set vary per query; the phrase doc set does not.
+        self._phrase_cache: dict[tuple[str, ...], DataFrame] = {}
+        self._phrase_cache_cap = 64
+        # at most one query's pruned block set stays persisted per engine
+        # (wand_top_k unpersists the previous entry on the next search)
+        self._persist_registry: list[DataFrame] = []
+
+    def _load_snapshot(self) -> None:
+        """Resolve the storage's CURRENT manifest into table handles.
+        Everything snapshot-derived lives here so refresh() can cut a
+        serving engine over to a newly committed snapshot."""
+        spark, storage = self.spark, self.storage
         self.docs = storage.read_table(spark, "docs")
         self.vocab = storage.read_table(spark, "vocab")
         # postings (uncompressed) loads lazily: a blocks-mode deployment
@@ -124,28 +153,31 @@ class QueryEngine:
         self.num_term_buckets = (
             int(_st["num_term_buckets"]) if _st.get("num_term_buckets") else None
         )
-        # Driver-side term-dictionary cache (VERDICT r1 #7): term -> vocab
-        # row dict, or None for a confirmed-absent term.  Only terms that
-        # were actually queried are ever cached (the full vocabulary is
-        # never collected); the engine instance is pinned to the manifest
-        # version it loaded at init, so a rebuild means a new engine and a
-        # fresh cache.
-        self._term_cache: dict[str, dict | None] = {}
-        # term_id -> (gmax_wtf, gmin_len): WAND global-bound ingredients,
-        # filled lazily by wand_top_k (one block-metadata agg per cold term)
-        self._bounds_cache: dict[int, tuple[float, int]] = {}
-        # phrase terms -> materialized doc-id set (the filter half of a
-        # query result cache — standard serving-tier practice; sound here
-        # because the engine is pinned to the manifest version it loaded,
-        # see _term_cache note above).  Entries are persisted DataFrames of
-        # doc ids (small: docs containing the whole phrase), LRU-bounded;
-        # eviction unpersists.  Scoring is NOT cached — k and the keyword
-        # set vary per query; the phrase doc set does not.
-        self._phrase_cache: dict[tuple[str, ...], DataFrame] = {}
-        self._phrase_cache_cap = 64
-        # at most one query's pruned block set stays persisted per engine
-        # (wand_top_k unpersists the previous entry on the next search)
-        self._persist_registry: list[DataFrame] = []
+
+    def refresh(self) -> None:
+        """Cut this engine over to the storage's latest committed snapshot.
+
+        An engine is PINNED to the manifest version it loaded (that pin is
+        what makes the term/bound/phrase caches sound — see _term_cache),
+        so an incremental upsert is invisible to a long-lived serving
+        process until it either rebuilds the engine or calls refresh().
+        refresh() drops every snapshot-derived cache (term dictionary,
+        WAND bounds, persisted phrase doc-sets, the pruned-block pin) and
+        re-resolves the manifest; in-flight queries keep reading the files
+        of the old snapshot they already resolved — which storage.vacuum's
+        default ``keep_last=2`` retention keeps on disk — and the next
+        search sees the new snapshot.  The upsert-commit -> refresh pair
+        is the rebuild-swap cycle of the reference (re-run Indexer, restart
+        server) without the restart."""
+        for df in self._phrase_cache.values():
+            df.unpersist(blocking=False)
+        self._phrase_cache.clear()
+        for prev in self._persist_registry:
+            prev.unpersist(blocking=False)
+        self._persist_registry.clear()
+        self._term_cache.clear()
+        self._bounds_cache.clear()
+        self._load_snapshot()
 
     def _lookup_cached(self, terms: list[str]) -> list[dict]:
         """Resolve ``terms`` against the vocab through the cache; at most
