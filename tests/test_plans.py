@@ -1,0 +1,108 @@
+"""Physical-plan regression guards for the scale-critical properties the
+100 TB design depends on (EXPLAIN.md records them; these tests keep them
+from silently decaying):
+
+- dictionary lookups partition-prune to driver-computed buckets,
+- WAND's block-metadata aggregation never reads the posting payload
+  columns (parquet column pruning),
+- result assembly joins broadcast the <=k side (no sort-merge join),
+- the index-free proximity scan is shuffle-free,
+- the blocks serving path is pure JVM (zero Python eval nodes).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from web_based_search_engine_spark.plans.query import QueryEngine
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_vocab_lookup_partition_prunes(spark, built_index):
+    """lookup_terms' scan shape: the bucket predicate must reach the
+    parquet source as a PartitionFilter (vocab is bucket-partitioned),
+    and the term equality as a pushed data filter — the lookup touches
+    |query buckets|/B of the dictionary."""
+    from web_based_search_engine_spark.functions.xxhash import term_bucket
+
+    qe = QueryEngine(spark, built_index["storage"], mode="blocks")
+    b = term_bucket("search", qe.num_term_buckets)
+    probe = qe.vocab.where(F.col("bucket").isin([b])).where(
+        F.col("term").isin(["search"])
+    )
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan
+    # the bucket filter must be IN the partition-filter clause, not a
+    # post-scan Filter over all partitions
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "bucket" in pf
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_wand_metadata_agg_skips_payload_columns(spark, built_index):
+    """The per-term global-bound aggregation (wand.py bounds pass) reads
+    only block METADATA; ReadSchema must exclude doc_ids/tfs/positions —
+    at cluster scale those payload columns are ~all the bytes."""
+    qe = QueryEngine(spark, built_index["storage"], mode="blocks")
+    agg = (
+        qe.blocks.where(F.col("bucket").isin([0]) & F.col("term_id").isin([1, 2]))
+        .groupBy("term_id")
+        .agg(F.max("max_wtf").alias("gw"), F.min("min_len_d").alias("gl"))
+    )
+    plan = _plan(agg)
+    rs = plan.split("ReadSchema:")[1].split("\n")[0]
+    for payload in ("doc_ids", "title_tfs", "body_tfs", "title_pos", "body_pos"):
+        assert payload not in rs, f"payload column {payload} read by metadata agg"
+    assert "max_wtf" in rs and "min_len_d" in rs
+
+
+def test_assembly_broadcasts_result_side(spark, built_index):
+    """_assemble streams the docs table past the broadcast <=k result set;
+    a sort-merge join here would shuffle the whole docs table per query."""
+    qe = QueryEngine(spark, built_index["storage"], mode="blocks")
+    plan = _plan(qe.search('searching "engines retrieval"', k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_proximity_adhoc_is_shuffle_free(spark):
+    """adhoc.proximity_adhoc claims one codegen scan — no Exchange may
+    appear in its plan (the q48 batch path; a pure map stage at 100 TB)."""
+    from web_based_search_engine_spark.operators.adhoc import proximity_adhoc
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha gamma beta")], "doc_id long, text string"
+    )
+    plan = _plan(proximity_adhoc(df, ["alpha", "beta"], 3))
+    assert "Exchange" not in plan
+
+
+def test_blocks_serving_path_is_pure_jvm(spark, built_index):
+    """The serving claim behind round 4's latency win: term SCORING from
+    the block index runs entirely in whole-stage codegen — no Python or
+    Arrow eval node anywhere in the plan.  The phrase shape additionally
+    decodes the delta-gap+varint POSITION columns (kept compressed by
+    design — north-rule storage format) through one `mapInArrow` stage;
+    that is the only non-JVM node allowed, and scoring still must not
+    add any Python eval."""
+    qe = QueryEngine(spark, built_index["storage"], mode="blocks")
+    plan = _plan(qe.search("searching engines", k=5, assemble=False))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas", "MapInArrow"):
+        assert node not in plan, f"{node} in term-scoring serving plan"
+    # formatted explain marks codegen'd operators with [codegen id : N]
+    assert "codegen id" in plan
+
+    phrase_plan = _plan(qe.search('posting "searching engines"', k=5, assemble=False))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in phrase_plan, f"{node} in phrase serving plan"

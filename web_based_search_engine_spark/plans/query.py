@@ -386,11 +386,19 @@ class QueryEngine:
                     ),
                 ).alias("_top"),
             )
+            # broadcast discipline (serving runs with AQE OFF, so no runtime
+            # rescue): every join here streams a BIG stored table (forward,
+            # vocab) past a broadcast of the <=k-derived side — without the
+            # hints these planned as SortMergeJoins, i.e. a full
+            # forward-index shuffle per query at cluster scale
             exploded = (
-                topk.select("doc_id").join(kw, "doc_id")
+                kw.join(F.broadcast(topk.select("doc_id")), "doc_id")
                 .select("doc_id", F.explode("_top").alias("kwent"))
                 .select("doc_id", F.col("kwent.term_id").alias("term_id"), F.col("kwent.tf").alias("tf"))
-                .join(self.vocab.select("term_id", "term"), "term_id")
+            )
+            exploded = (
+                self.vocab.select("term_id", "term")
+                .join(F.broadcast(exploded), "term_id")
                 .groupBy("doc_id")
                 .agg(
                     F.reverse(
@@ -398,7 +406,7 @@ class QueryEngine:
                     ).alias("keywords")
                 )
             )
-            out = out.join(exploded, "doc_id", "left")
+            out = out.join(F.broadcast(exploded), "doc_id", "left")
         if self.links is not None:
             # parent/child link lists (SearchResult parity via LinkIndexer
             # getParentLinks/getChildLinks, LinkIndexer.java:100-121): the
@@ -440,5 +448,8 @@ class QueryEngine:
 
             parents = neighbor_lists("dst_doc_id", "src_doc_id", "parent")
             children = neighbor_lists("src_doc_id", "dst_doc_id", "child")
-            out = out.join(parents, "doc_id", "left").join(children, "doc_id", "left")
+            out = (
+                out.join(F.broadcast(parents), "doc_id", "left")
+                .join(F.broadcast(children), "doc_id", "left")
+            )
         return out.orderBy(F.desc("score"), F.asc("doc_id"))
