@@ -106,3 +106,6 @@ def test_blocks_serving_path_is_pure_jvm(spark, built_index):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas"):
         assert node not in phrase_plan, f"{node} in phrase serving plan"
+    # the phrase-candidate semi-join must broadcast the (small, counted)
+    # candidate set — never shuffle the decoded posting stream against it
+    assert "SortMergeJoin" not in phrase_plan

@@ -117,7 +117,7 @@ class QueryEngine:
         # doc ids (small: docs containing the whole phrase), LRU-bounded;
         # eviction unpersists.  Scoring is NOT cached — k and the keyword
         # set vary per query; the phrase doc set does not.
-        self._phrase_cache: dict[tuple[str, ...], DataFrame] = {}
+        self._phrase_cache: dict[tuple[str, ...], tuple[DataFrame, DataFrame]] = {}
         self._phrase_cache_cap = 64
         # at most one query's pruned block set stays persisted per engine
         # (wand_top_k unpersists the previous entry on the next search)
@@ -169,8 +169,8 @@ class QueryEngine:
         search sees the new snapshot.  The upsert-commit -> refresh pair
         is the rebuild-swap cycle of the reference (re-run Indexer, restart
         server) without the restart."""
-        for df in self._phrase_cache.values():
-            df.unpersist(blocking=False)
+        for base, _hinted in self._phrase_cache.values():
+            base.unpersist(blocking=False)
         self._phrase_cache.clear()
         for prev in self._persist_registry:
             prev.unpersist(blocking=False)
@@ -283,7 +283,7 @@ class QueryEngine:
         hit = self._phrase_cache.pop(key, None)
         if hit is not None:
             self._phrase_cache[key] = hit  # re-insert: LRU recency
-            return hit
+            return hit[1]
         ids = phrase_doc_ids(
             None if self._blocks_serving else self.postings,
             self.vocab,
@@ -291,7 +291,6 @@ class QueryEngine:
             term_rows=self._lookup_cached(phrase),
             blocks=self.blocks if self._blocks_serving else None,
         ).persist()
-        ids.count()  # materialize now: the scoring job must not re-run it
         return self._cache_candidates(key, ids)
 
     def _near_candidates(self, terms: list[str], window: int) -> DataFrame:
@@ -301,7 +300,7 @@ class QueryEngine:
         hit = self._phrase_cache.pop(key, None)
         if hit is not None:
             self._phrase_cache[key] = hit
-            return hit
+            return hit[1]
         ids = proximity_windows(
             None if self._blocks_serving else self.postings,
             self.vocab,
@@ -310,15 +309,28 @@ class QueryEngine:
             term_rows=self._lookup_cached(terms),
             blocks=self.blocks if self._blocks_serving else None,
         ).select("doc_id").persist()
-        ids.count()
         return self._cache_candidates(key, ids)
 
     def _cache_candidates(self, key: tuple, ids: DataFrame) -> DataFrame:
+        # materialize now (the scoring job must not re-run the positional
+        # pipeline), and — since the count is in hand — pin a broadcast
+        # hint on small sets: every downstream semi-join (WAND's decoded
+        # stream, the columnar filter, phrase∩near intersection) then
+        # ships the candidate set to the executors instead of shuffling
+        # the big side (serving runs AQE-off, so there is no runtime
+        # rescue).  Same cap as phrase.py's survivor broadcast.
+        from ..operators.phrase import _BROADCAST_SURVIVOR_CAP
+
+        n = ids.count()
+        entry = F.broadcast(ids) if n <= _BROADCAST_SURVIVOR_CAP else ids
         if len(self._phrase_cache) >= self._phrase_cache_cap:
             oldest = next(iter(self._phrase_cache))
-            self._phrase_cache.pop(oldest).unpersist(blocking=False)
-        self._phrase_cache[key] = ids
-        return ids
+            self._phrase_cache.pop(oldest)[0].unpersist(blocking=False)
+        # cache (persisted base, hinted frame): unpersist resolves by plan
+        # identity, so eviction must go through the base — the hint
+        # wrapper's plan is not the one that was persisted
+        self._phrase_cache[key] = (ids, entry)
+        return entry
 
     def _score(self, terms: list[str], candidates: DataFrame | None = None,
                k: int | None = None) -> DataFrame:
