@@ -143,3 +143,60 @@ def test_server_concurrent_requests(spark, built_index):
 def _raw(port: int, path: str):
     with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=120) as r:
         return r.status, r.read()
+
+
+def test_server_refresh_endpoint(spark, tmp_path):
+    """POST /refresh cuts the serving engine over to the latest committed
+    snapshot — upsert, refresh over HTTP, and the new doc is searchable
+    without a restart (the reference's re-index + restart cycle)."""
+    from web_based_search_engine_spark import fixtures
+    from web_based_search_engine_spark.config import IndexConfig
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+    from web_based_search_engine_spark.streaming.incremental import incremental_update
+
+    cfg = IndexConfig(num_term_buckets=2, block_size=8)
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    rows = [
+        ("r/a", "f1.py", "c1", "py", "alpha beta alpha"),
+        ("r/a", "f2.py", "c1", "py", "gamma delta"),
+    ]
+    IndexBuilder(spark, storage, cfg).build(
+        spark.createDataFrame(rows, fixtures.CORPUS_SCHEMA)
+    )
+    qe = QueryEngine(spark, storage, mode="blocks")
+    srv = SearchServer(qe, port=0).start()
+    try:
+        status, body = _get(srv.port, "/search?q=epsilon")
+        assert status == 200 and body["results"] == []
+
+        incremental_update(
+            spark, storage,
+            spark.createDataFrame(
+                [("r/a", "f3.py", "c1", "py", "epsilon alpha")],
+                fixtures.CORPUS_SCHEMA,
+            ),
+            cfg,
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/refresh", method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            refreshed = json.loads(r.read())
+        assert refreshed == {"status": "ok", "n_docs": 3}
+
+        status, body = _get(srv.port, "/search?q=epsilon")
+        assert status == 200
+        assert [r["path"] for r in body["results"]] == ["f3.py"]
+
+        # POST to any other path is a 404, and GET /refresh stays unknown
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/search?q=x", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()

@@ -26,6 +26,13 @@ Routes:
   GET /result?search=...      -> HTML results page (result.jte analog)
   GET /health                 -> {"status": "ok", "n_docs": N}
   GET /search?q=...&k=50      -> {"query": ..., "k": ..., "results": [...]}
+  POST /refresh               -> cut over to the latest committed index
+                                 snapshot (QueryEngine.refresh); returns
+                                 the new {"n_docs": N}.  In-flight queries
+                                 finish on the snapshot they resolved
+                                 (storage.vacuum keep_last>=2 keeps it on
+                                 disk); the reference's equivalent is
+                                 re-running the Indexer and restarting.
 """
 
 from __future__ import annotations
@@ -196,8 +203,25 @@ def make_handler(engine):
             except Exception as e:  # noqa: BLE001 — surface as HTTP 500
                 self._json(500, {"error": str(e)[:500]})
 
+        def do_POST(self):  # noqa: N802 (http.server API)
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path != "/refresh":
+                self._json(404, {"error": "unknown path", "path": parsed.path})
+                return
+            try:
+                # one cutover at a time; searches need no lock — they hold
+                # references to the snapshot's DataFrames for their whole
+                # execution, and rebinding the engine's handles is atomic
+                with refresh_lock:
+                    engine.refresh()
+                self._json(200, {"status": "ok", "n_docs": engine.n_docs})
+            except Exception as e:  # noqa: BLE001 — surface as HTTP 500
+                self._json(500, {"error": str(e)[:500]})
+
         def log_message(self, *args):  # quiet: the engine logs via Spark
             pass
+
+    refresh_lock = threading.Lock()
 
     return Handler
 
