@@ -107,3 +107,29 @@ def test_vocab_bucket_is_driver_computable(spark, built_index):
     assert rows
     for r in rows:
         assert term_bucket(r["term"], b) == r["bucket"], r["term"]
+
+
+def test_parse_query_fuzz_never_crashes_and_keeps_invariants():
+    """Serving front door (parse_query, JavalinServer.java:48-61 warts
+    W3/W4): arbitrary query text — unicode, quotes, control chars — must
+    parse without raising, with the documented invariants: keywords are
+    deduped analyzed tokens; the phrase is the analyzed FIRST greedy
+    quoted group; quoted words also appear as keywords (the '"'-splitter
+    wart); phrase terms are a subset of the keyword set."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web_based_search_engine_spark.functions.analysis import analyze_text_py
+    from web_based_search_engine_spark.plans.query import parse_query
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=120))
+    def check(q):
+        pq = parse_query(q)
+        assert pq.keywords == list(dict.fromkeys(analyze_text_py(q)))
+        assert len(set(pq.keywords)) == len(pq.keywords)
+        if '"' not in q or q.count('"') < 2:
+            assert pq.phrase == [] or '"' in q  # single quote: no group
+        assert set(pq.phrase) <= set(pq.keywords)
+
+    check()
