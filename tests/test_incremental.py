@@ -585,3 +585,34 @@ def test_engine_refresh_cuts_over_to_new_snapshot(spark, tmp_path):
     # engine reads the current snapshot, untouched by expiry
     storage.vacuum(keep_last=2)
     assert {r["path"] for r in qe.search("alpha").collect()} == {"f1.py", "f3.py"}
+
+
+def test_vacuum_retention_keeps_pinned_snapshot_servable(spark, tmp_path):
+    """The vacuum/refresh retention contract end-to-end: an engine pinned
+    to snapshot N must keep serving AFTER an upsert commits N+1 and
+    vacuum(keep_last=2) runs — N is inside the retention window.  After
+    refresh, vacuum(keep_last=1) may expire N and the engine still works
+    because it now reads N+1."""
+    rows = [
+        ("r/a", "f1.py", "c1", "py", "alpha beta"),
+        ("r/a", "f2.py", "c1", "py", "gamma delta"),
+    ]
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(spark, storage, CFG).build(_mini_corpus(spark, rows))
+    qe = QueryEngine(spark, storage, mode="blocks")
+    assert {r["path"] for r in qe.search("alpha").collect()} == {"f1.py"}
+
+    incremental_update(
+        spark, storage,
+        _mini_corpus(spark, [("r/a", "f3.py", "c1", "py", "epsilon alpha")]),
+        CFG,
+    )
+    storage.vacuum(keep_last=2)
+    # pinned engine: old snapshot still on disk, searches unaffected,
+    # including shapes that touch every table (assembly: docs/forward/links)
+    assert {r["path"] for r in qe.search("alpha").collect()} == {"f1.py"}
+    assert qe.search("epsilon", assemble=False).count() == 0
+
+    qe.refresh()
+    storage.vacuum(keep_last=1)  # now N may go; the engine reads N+1
+    assert {r["path"] for r in qe.search("alpha").collect()} == {"f1.py", "f3.py"}
