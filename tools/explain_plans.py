@@ -93,9 +93,23 @@ def main() -> None:
         sections.append((
             "Query (blocks): block-max WAND over compressed blocks",
             "Scan parquet of `blocks` with the same bucket PartitionFilters; "
-            "block decode + WAND heap run in one ArrowEvalPython/mapInPandas "
-            "stage over pruned block rows only.",
+            "since round 4's pure-JVM decode (doc_ids/tfs as plain list "
+            "columns) the whole scoring path — explode, BM25 expression, "
+            "top-k — is ONE whole-stage-codegen span with NO Python/Arrow "
+            "eval node (guarded by tests/test_plans.py); position bytes "
+            "stay unread.",
             plan_of(qe_blocks.search("merge_sort searching", assemble=False)),
+        ))
+        sections.append((
+            "Query (blocks): assembled SearchResult plan (top-k + metadata "
+            "+ keywords + links)",
+            "Every join streams a BIG stored table (docs, forward, vocab, "
+            "links) past a BroadcastExchange of the <=k-derived side — "
+            "BroadcastHashJoins only; a SortMergeJoin here would shuffle "
+            "the forward index per query (the round-4 regression "
+            "tests/test_plans.py now guards against, with AQE pinned off "
+            "on the serving path there is no runtime rescue).",
+            plan_of(qe_blocks.search('merge_sort "searching engines"', k=5)),
         ))
         # two-pass phrase: force the plan regardless of the df crossover so
         # the pass-2 shape (block semi-join prune -> positional decode ->
