@@ -163,8 +163,9 @@ def main(argv: list[str] | None = None) -> int:
         if not stats:
             print("nothing to expire")
         for name, s in sorted(stats.items()):
+            versions = ", ".join(f"v{v}" for v in s["versions_deleted"])
             print(
-                f"{name}: expired v{s['versions_deleted']}, "
+                f"{name}: expired {versions}, "
                 f"{s['files_unlinked']} files unlinked, "
                 f"{s['bytes_freed']} bytes freed"
             )

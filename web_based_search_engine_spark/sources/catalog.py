@@ -290,7 +290,7 @@ class ParquetIndexStorage:
     def table_meta(self, name: str) -> dict[str, Any]:
         return self._effective_manifest()["tables"][name]
 
-    def vacuum(self, keep_last: int = 2) -> dict[str, Any]:
+    def vacuum(self, keep_last: int = 2, drop_abandoned: bool = False) -> dict[str, Any]:
         """Expire old table-version snapshots (Iceberg ``expire_snapshots``
         analog).  Every ``write_table``/``write_table_partitions`` commit
         leaves the previous version directory in place so readers holding
@@ -312,10 +312,20 @@ class ParquetIndexStorage:
         mid-``batch()`` upsert) are left alone — a concurrent writer may
         be mid-commit; re-running the upsert reuses or supersedes them.
 
+        The per-table sweep covers only manifest-listed tables: a
+        ``tables/<name>`` directory whose entry was dropped from the
+        manifest is NOT reclaimed by default (it is indistinguishable from
+        a brand-new table whose first commit is in flight — write_table
+        creates the version dir before the manifest entry).  Pass
+        ``drop_abandoned=True`` from a maintenance window with NO
+        concurrent writers to also delete those directories; their freed
+        bytes are reported under the ``"<name> (abandoned)"`` stats key.
+
         Run from the maintenance owner, not concurrent with a writer
         committing to the SAME table (the standard expire-vs-commit
-        discipline).  Idempotent; returns per-table stats and records a
-        ``vacuum`` metric in the manifest."""
+        discipline; ``drop_abandoned`` widens that to any table).
+        Idempotent; returns per-table stats and records a ``vacuum``
+        metric in the manifest."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         stats: dict[str, Any] = {}
@@ -345,6 +355,25 @@ class ParquetIndexStorage:
             if deleted:
                 stats[name] = {
                     "versions_deleted": deleted,
+                    "files_unlinked": files_unlinked,
+                    "bytes_freed": bytes_freed,
+                }
+        if drop_abandoned:
+            troot = self.root / "tables"
+            listed = set(m["tables"])
+            for tdir in sorted(troot.iterdir()) if troot.exists() else []:
+                if not tdir.is_dir() or tdir.name in listed:
+                    continue
+                files_unlinked, bytes_freed = 0, 0
+                for f in tdir.rglob("*"):
+                    if f.is_file():
+                        st = f.stat()
+                        files_unlinked += 1
+                        if st.st_nlink == 1:
+                            bytes_freed += st.st_size
+                shutil.rmtree(tdir)
+                stats[f"{tdir.name} (abandoned)"] = {
+                    "versions_deleted": [],
                     "files_unlinked": files_unlinked,
                     "bytes_freed": bytes_freed,
                 }
