@@ -14,7 +14,8 @@ first and assembles <=50 rows via broadcast joins (SURVEY §3 EP2 note).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+import threading
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +37,56 @@ _PHRASE_RE = re.compile(r'"(.*)"')
 class ParsedQuery:
     keywords: list[str]   # analyzed, deduped (set semantics, App.java:33)
     phrase: list[str]     # analyzed, ordered; empty if no quoted phrase
+
+
+@dataclass
+class _CandSet:
+    """A materialized candidate doc-id set plus the driver-side facts the
+    scorer uses to skip blocks: exact count and id range (both computed in
+    the same job that materializes the persist)."""
+    frame: DataFrame      # broadcast-hinted when small
+    n: int
+    lo: int | None        # min doc_id (None iff n == 0)
+    hi: int | None
+
+
+@dataclass
+class _SnapshotState:
+    """Everything derived from ONE committed manifest version — table
+    handles AND the caches keyed by them — bundled so a search captures a
+    single consistent object at entry and ``refresh()`` cuts over with one
+    atomic attribute assignment (ADVICE r4 high: rebinding ~8 handles and
+    clearing 4 caches one by one let a concurrent search mix snapshots and
+    write stale rows into already-cleared caches).  Caches are mutable
+    WITHIN a state; they never outlive it, so a late write-back from an
+    in-flight query lands in the retired state's dicts, not the new
+    snapshot's."""
+    docs: DataFrame
+    vocab: DataFrame
+    blocks: DataFrame | None
+    forward: DataFrame | None
+    links: DataFrame | None
+    n_docs: int
+    avg_doc_len: float
+    num_term_buckets: int | None
+    postings_lazy: DataFrame | None = None
+    term_cache: dict = field(default_factory=dict)
+    bounds_cache: dict = field(default_factory=dict)
+    phrase_cache: dict = field(default_factory=dict)
+    lock: threading.Lock = field(default_factory=threading.Lock)
+    persist_pool: object = None
+
+    def release(self) -> None:
+        """Unpersist everything this snapshot pinned.  Called after the
+        engine has swapped to a newer state; a still-in-flight query that
+        captured this state merely recomputes (correct, slower) — new
+        queries never see it."""
+        with self.lock:
+            entries, self.phrase_cache = self.phrase_cache, {}
+        for base, _hinted, _n, _lo, _hi in entries.values():
+            base.unpersist(blocking=False)
+        if self.persist_pool is not None:
+            self.persist_pool.release_all()
 
 
 def parse_query(query: str, cfg: AnalysisConfig | None = None) -> ParsedQuery:
@@ -65,6 +116,7 @@ class QueryEngine:
         analysis: AnalysisConfig | None = None,
         adaptive: bool | None = False,
         serving_shuffle_partitions: int | None = 8,
+        wand_prune: bool | str = "auto",
     ):
         # Serving path pins AQE OFF (adaptive=None uses the caller's session
         # and conf as-is): a point query over partition-pruned,
@@ -99,128 +151,164 @@ class QueryEngine:
         self.scoring = scoring or ScoringConfig()
         self.analysis = analysis or AnalysisConfig.full()
         self.mode = mode
-        self._load_snapshot()
-        # Driver-side term-dictionary cache (VERDICT r1 #7): term -> vocab
-        # row dict, or None for a confirmed-absent term.  Only terms that
-        # were actually queried are ever cached (the full vocabulary is
-        # never collected); the engine instance is pinned to the manifest
-        # version it loaded at init, so a rebuild means a new engine and a
-        # fresh cache.
-        self._term_cache: dict[str, dict | None] = {}
-        # term_id -> (gmax_wtf, gmin_len): WAND global-bound ingredients,
-        # filled lazily by wand_top_k (one block-metadata agg per cold term)
-        self._bounds_cache: dict[int, tuple[float, int]] = {}
-        # phrase terms -> materialized doc-id set (the filter half of a
-        # query result cache — standard serving-tier practice; sound here
-        # because the engine is pinned to the manifest version it loaded,
-        # see _term_cache note above).  Entries are persisted DataFrames of
-        # doc ids (small: docs containing the whole phrase), LRU-bounded;
-        # eviction unpersists.  Scoring is NOT cached — k and the keyword
-        # set vary per query; the phrase doc set does not.
-        self._phrase_cache: dict[tuple[str, ...], tuple[DataFrame, DataFrame]] = {}
+        # WAND pruning policy for blocks-mode scoring: "auto" (engage past
+        # the measured block-count crossover — see wand.py), True (always —
+        # the cluster-scale posture, exercised by bench --wand-prune and
+        # the concurrency tests), False (exhaustive decode).
+        self.wand_prune: bool | str = wand_prune
+        # phrase/near doc-set LRU size (the filter half of a query result
+        # cache): entries are persisted DataFrames of the docs containing
+        # the whole phrase, small and k-independent — the highest-value
+        # cacheable unit in serving.  Scoring is NOT cached (k and the
+        # keyword set vary per query).
         self._phrase_cache_cap = 64
-        # at most one query's pruned block set stays persisted per engine
-        # (wand_top_k unpersists the previous entry on the next search)
-        self._persist_registry: list[DataFrame] = []
+        # concurrency headroom for the WAND pruned-block pool: pinned
+        # storage is bounded at this many queries' block sets, and no
+        # in-flight query's blocks are evicted while concurrency stays
+        # at or below it
+        self._persist_pool_capacity = 8
+        self._state = self._build_state()
 
-    def _load_snapshot(self) -> None:
-        """Resolve the storage's CURRENT manifest into table handles.
-        Everything snapshot-derived lives here so refresh() can cut a
-        serving engine over to a newly committed snapshot."""
+    def _build_state(self) -> _SnapshotState:
+        """Resolve the storage's CURRENT manifest into a fresh
+        _SnapshotState (table handles + empty caches).  Built fully off to
+        the side — the engine's ``_state`` is only rebound once the object
+        is complete, so concurrent searches see either the old snapshot or
+        the new one, never a mix."""
         spark, storage = self.spark, self.storage
-        self.docs = storage.read_table(spark, "docs")
-        self.vocab = storage.read_table(spark, "vocab")
-        # postings (uncompressed) loads lazily: a blocks-mode deployment
-        # serves scoring AND phrase from the compressed block index alone,
-        # so the columnar postings table need not exist at all (VERDICT r1
-        # missing-item 1 — one positional structure, not 2x index storage)
-        self._postings: DataFrame | None = None
-        self.blocks = (
-            storage.read_table(spark, "blocks") if storage.has_table("blocks") else None
-        )
-        self.forward = (
-            storage.read_table(spark, "forward") if storage.has_table("forward") else None
-        )
-        self.links = (
-            storage.read_table(spark, "links") if storage.has_table("links") else None
-        )
         st = storage.read_table(spark, "stats").collect()[0]
-        self.n_docs = int(st["n_docs"])
-        self.avg_doc_len = float(st["avg_doc_len"] or 1.0)
-        # physical layout constant (bucket = pmod(xxhash64(term), B)): lets
-        # the dictionary lookup partition-prune with driver-computed buckets
         _st = st.asDict()
-        self.num_term_buckets = (
-            int(_st["num_term_buckets"]) if _st.get("num_term_buckets") else None
+        return _SnapshotState(
+            docs=storage.read_table(spark, "docs"),
+            vocab=storage.read_table(spark, "vocab"),
+            # postings (uncompressed) loads lazily: a blocks-mode
+            # deployment serves scoring AND phrase from the compressed
+            # block index alone, so the columnar postings table need not
+            # exist at all (VERDICT r1 missing-item 1)
+            blocks=(
+                storage.read_table(spark, "blocks")
+                if storage.has_table("blocks") else None
+            ),
+            forward=(
+                storage.read_table(spark, "forward")
+                if storage.has_table("forward") else None
+            ),
+            links=(
+                storage.read_table(spark, "links")
+                if storage.has_table("links") else None
+            ),
+            n_docs=int(st["n_docs"]),
+            avg_doc_len=float(st["avg_doc_len"] or 1.0),
+            # physical layout constant (bucket = pmod(xxhash64(term), B)):
+            # lets the dictionary lookup partition-prune with
+            # driver-computed buckets
+            num_term_buckets=(
+                int(_st["num_term_buckets"]) if _st.get("num_term_buckets") else None
+            ),
+            persist_pool=W.PersistPool(self._persist_pool_capacity),
         )
 
     def refresh(self) -> None:
         """Cut this engine over to the storage's latest committed snapshot.
 
         An engine is PINNED to the manifest version it loaded (that pin is
-        what makes the term/bound/phrase caches sound — see _term_cache),
-        so an incremental upsert is invisible to a long-lived serving
-        process until it either rebuilds the engine or calls refresh().
-        refresh() drops every snapshot-derived cache (term dictionary,
-        WAND bounds, persisted phrase doc-sets, the pruned-block pin) and
-        re-resolves the manifest; in-flight queries keep reading the files
-        of the old snapshot they already resolved — which storage.vacuum's
-        default ``keep_last=2`` retention keeps on disk — and the next
-        search sees the new snapshot.  The upsert-commit -> refresh pair
-        is the rebuild-swap cycle of the reference (re-run Indexer, restart
-        server) without the restart."""
-        for base, _hinted in self._phrase_cache.values():
-            base.unpersist(blocking=False)
-        self._phrase_cache.clear()
-        for prev in self._persist_registry:
-            prev.unpersist(blocking=False)
-        self._persist_registry.clear()
-        self._term_cache.clear()
-        self._bounds_cache.clear()
-        self._load_snapshot()
+        what makes the term/bound/phrase caches sound), so an incremental
+        upsert is invisible to a long-lived serving process until it either
+        rebuilds the engine or calls refresh().  The cutover is ATOMIC
+        (ADVICE r4 high): the new _SnapshotState — handles AND caches — is
+        built completely off to the side, then swapped in with a single
+        attribute assignment.  A search captures ``self._state`` once at
+        entry, so an in-flight query keeps its whole pipeline (vocab
+        lookup, phrase materialization, WAND bounds, cache write-backs) on
+        the snapshot it started with; its late cache writes land in the
+        RETIRED state's dicts and die with them, never corrupting the new
+        snapshot's caches.  Old snapshot files stay readable under
+        storage.vacuum's default ``keep_last=2`` retention.  The
+        upsert-commit -> refresh pair is the reference's rebuild-swap cycle
+        (re-run Indexer, restart server) without the restart."""
+        new = self._build_state()
+        old, self._state = self._state, new
+        old.release()
 
-    def _lookup_cached(self, terms: list[str]) -> list[dict]:
-        """Resolve ``terms`` against the vocab through the cache; at most
-        one vocab-scan job per query, and zero for repeated terms."""
+    # -------------------------------------------------- snapshot accessors
+    # Single-snapshot views of the CURRENT state (tests and embedding code
+    # read these; setters exist because tests poison individual handles).
+    # Internal search code never uses them — it captures one state at entry.
+    docs = property(lambda self: self._state.docs)
+    vocab = property(lambda self: self._state.vocab)
+    blocks = property(lambda self: self._state.blocks)
+    forward = property(lambda self: self._state.forward)
+    links = property(lambda self: self._state.links)
+    n_docs = property(lambda self: self._state.n_docs)
+    avg_doc_len = property(lambda self: self._state.avg_doc_len)
+    num_term_buckets = property(lambda self: self._state.num_term_buckets)
+    docs = docs.setter(lambda self, v: setattr(self._state, "docs", v))
+    vocab = vocab.setter(lambda self, v: setattr(self._state, "vocab", v))
+    blocks = blocks.setter(lambda self, v: setattr(self._state, "blocks", v))
+    forward = forward.setter(lambda self, v: setattr(self._state, "forward", v))
+    links = links.setter(lambda self, v: setattr(self._state, "links", v))
+    _term_cache = property(lambda self: self._state.term_cache)
+    _bounds_cache = property(lambda self: self._state.bounds_cache)
+    _phrase_cache = property(lambda self: self._state.phrase_cache)
+    _persist_registry = property(lambda self: self._state.persist_pool)
+
+    def _lookup_cached(self, terms: list[str], st: _SnapshotState | None = None) -> list[dict]:
+        """Resolve ``terms`` against the vocab through the state's term
+        cache (term -> vocab row dict, None for confirmed-absent; VERDICT
+        r1 #7); at most one vocab-scan job per query, zero for repeated
+        terms, and the full vocabulary is never collected."""
         from ..operators.scoring import lookup_terms
 
-        missing = [t for t in dict.fromkeys(terms) if t not in self._term_cache]
+        st = st if st is not None else self._state
+        missing = [t for t in dict.fromkeys(terms) if t not in st.term_cache]
         if missing:
             found = {
                 r["term"]: r
-                for r in lookup_terms(self.vocab, missing, self.num_term_buckets)
+                for r in lookup_terms(st.vocab, missing, st.num_term_buckets)
             }
             for t in missing:
-                self._term_cache[t] = found.get(t)
+                st.term_cache[t] = found.get(t)
         out, seen = [], set()
         for t in terms:
-            r = self._term_cache.get(t)
+            r = st.term_cache.get(t)
             if r is not None and t not in seen:
                 seen.add(t)
                 out.append(r)
         return out
 
-    @property
-    def postings(self) -> DataFrame:
-        if self._postings is None:
-            self._postings = self.storage.read_table(self.spark, "postings")
-        return self._postings
+    def _postings_of(self, st: _SnapshotState) -> DataFrame:
+        if st.postings_lazy is None:
+            with st.lock:
+                if st.postings_lazy is None:
+                    st.postings_lazy = self.storage.read_table(self.spark, "postings")
+        return st.postings_lazy
 
     @property
-    def _blocks_serving(self) -> bool:
+    def postings(self) -> DataFrame:
+        return self._postings_of(self._state)
+
+    def _serves_blocks(self, st: _SnapshotState) -> bool:
         """True when both scoring and phrase run off the compressed block
         index (bm25 blocks mode)."""
         return (
             self.mode == "blocks"
-            and self.blocks is not None
+            and st.blocks is not None
             and self.scoring.scorer == "bm25"
         )
 
+    @property
+    def _blocks_serving(self) -> bool:
+        return self._serves_blocks(self._state)
+
     # ------------------------------------------------------------------ api
-    def search(self, query: str, k: int | None = None, assemble: bool = True) -> DataFrame:
-        """Free-text search; supports one quoted phrase (EP2)."""
+    def search(self, query: str, k: int | None = None, assemble: bool = True,
+               wand_stats: dict | None = None) -> DataFrame:
+        """Free-text search; supports one quoted phrase (EP2).
+        ``wand_stats``: optional dict receiving blocks-mode pruning
+        evidence (see wand_top_k) — bench's --wand-prune artifact."""
         pq = parse_query(query, self.analysis)
-        return self.search_terms(pq.keywords, pq.phrase, k=k, assemble=assemble)
+        return self.search_terms(pq.keywords, pq.phrase, k=k, assemble=assemble,
+                                 wand_stats=wand_stats)
 
     def phrase_search(self, words: list[str], k: int | None = None,
                       assemble: bool = True) -> DataFrame:
@@ -250,114 +338,173 @@ class QueryEngine:
         k: int | None = None,
         assemble: bool = True,
         near: int | None = None,
+        wand_stats: dict | None = None,
     ) -> DataFrame:
         k = self.scoring.top_k if k is None else k
+        # capture ONE snapshot state for the whole query: a concurrent
+        # refresh() swaps the engine's pointer but cannot mix snapshots
+        # inside this search or leak its cache write-backs forward
+        st = self._state
         # phrase/proximity filter BEFORE the top-k cut and never change
         # scores (Indexer.java:270-276); candidates restrict WAND's ranking
         # set.  Both filters compose (intersection) when given together.
-        candidates = None
+        cand: _CandSet | None = None
         if phrase:
-            candidates = self._phrase_candidates(phrase)
+            cand = self._phrase_candidates(st, phrase)
         # `is not None`: window=0 is a real (vacuously empty) proximity
         # constraint — no doc has min_window <= 0 — not "no filter"
         if near is not None:
-            prox = self._near_candidates(terms, near)
-            candidates = (
-                prox if candidates is None
-                else candidates.join(prox, "doc_id", "left_semi")
-            )
-        scored = self._score(terms, candidates, k)
+            prox = self._near_candidates(st, terms, near)
+            if cand is None:
+                cand = prox
+            else:
+                # intersection: count is only bounded (<= min), range is
+                # the overlap — both stay valid skip inputs
+                cand = _CandSet(
+                    frame=cand.frame.join(prox.frame, "doc_id", "left_semi"),
+                    n=min(cand.n, prox.n),
+                    lo=max(cand.lo, prox.lo) if cand.n and prox.n else None,
+                    hi=min(cand.hi, prox.hi) if cand.n and prox.n else None,
+                )
+        if cand is not None and cand.n == 0:
+            # empty filter set: nothing can match — skip scoring entirely
+            scored = self.spark.createDataFrame([], "doc_id long, score double")
+        else:
+            scored = self._score(st, terms, cand, k, wand_stats=wand_stats)
         result = top_k(scored, k)
-        return self._assemble(result) if assemble else result
+        return self._assemble(st, result) if assemble else result
 
     # ------------------------------------------------------------ internals
-    def _phrase_candidates(self, phrase: list[str]) -> DataFrame:
-        """Phrase doc-id set through the engine's LRU result cache.
+    def _phrase_candidates(self, st: _SnapshotState, phrase: list[str]) -> _CandSet:
+        """Phrase doc-id set through the snapshot's LRU result cache.
 
         A hit skips the whole positional pipeline (decode + adjacency
         fold); a miss computes it once, materializes the (small) doc-id
-        set with ``persist``+``count``, and caches it.  Hot phrases repeat
-        heavily in real query logs, and the set is k-independent, so this
-        is the highest-value cacheable unit in the serving path."""
+        set with one persist-populating agg job, and caches it.  Hot
+        phrases repeat heavily in real query logs, and the set is
+        k-independent, so this is the highest-value cacheable unit in the
+        serving path."""
         key = ("p", *phrase)
-        hit = self._phrase_cache.pop(key, None)
+        hit = self._cache_get(st, key)
         if hit is not None:
-            self._phrase_cache[key] = hit  # re-insert: LRU recency
-            return hit[1]
+            return hit
         ids = phrase_doc_ids(
-            None if self._blocks_serving else self.postings,
-            self.vocab,
+            None if self._serves_blocks(st) else self._postings_of(st),
+            st.vocab,
             phrase,
-            term_rows=self._lookup_cached(phrase),
-            blocks=self.blocks if self._blocks_serving else None,
+            term_rows=self._lookup_cached(phrase, st),
+            blocks=st.blocks if self._serves_blocks(st) else None,
         ).persist()
-        return self._cache_candidates(key, ids)
+        return self._cache_candidates(st, key, ids)
 
-    def _near_candidates(self, terms: list[str], window: int) -> DataFrame:
+    def _near_candidates(self, st: _SnapshotState, terms: list[str], window: int) -> _CandSet:
         """Proximity doc-id set through the same LRU cache (keyed by the
         term set + window; like phrase, k-independent and score-free)."""
         key = ("n", str(window), *terms)
-        hit = self._phrase_cache.pop(key, None)
+        hit = self._cache_get(st, key)
         if hit is not None:
-            self._phrase_cache[key] = hit
-            return hit[1]
+            return hit
         ids = proximity_windows(
-            None if self._blocks_serving else self.postings,
-            self.vocab,
+            None if self._serves_blocks(st) else self._postings_of(st),
+            st.vocab,
             terms,
             window,
-            term_rows=self._lookup_cached(terms),
-            blocks=self.blocks if self._blocks_serving else None,
+            term_rows=self._lookup_cached(terms, st),
+            blocks=st.blocks if self._serves_blocks(st) else None,
         ).select("doc_id").persist()
-        return self._cache_candidates(key, ids)
+        return self._cache_candidates(st, key, ids)
 
-    def _cache_candidates(self, key: tuple, ids: DataFrame) -> DataFrame:
+    def _cache_get(self, st: _SnapshotState, key: tuple) -> _CandSet | None:
+        with st.lock:
+            hit = st.phrase_cache.pop(key, None)
+            if hit is None:
+                return None
+            st.phrase_cache[key] = hit  # re-insert: LRU recency
+        _base, hinted, n, lo, hi = hit
+        return _CandSet(frame=hinted, n=n, lo=lo, hi=hi)
+
+    def _cache_candidates(self, st: _SnapshotState, key: tuple, ids: DataFrame) -> _CandSet:
         # materialize now (the scoring job must not re-run the positional
-        # pipeline), and — since the count is in hand — pin a broadcast
-        # hint on small sets: every downstream semi-join (WAND's decoded
-        # stream, the columnar filter, phrase∩near intersection) then
+        # pipeline) with ONE agg job that also returns the driver-side
+        # facts the scorer skips blocks with: count, min and max doc id
+        # (directive r4-4/r4-5: no extra job over the old bare count).
+        # With the count in hand, pin a broadcast hint on small sets:
+        # every downstream semi-join (WAND's decoded stream, the columnar
+        # filter, phrase∩near intersection, the block containment skip)
         # ships the candidate set to the executors instead of shuffling
         # the big side (serving runs AQE-off, so there is no runtime
         # rescue).  Same cap as phrase.py's survivor broadcast.
         from ..operators.phrase import _BROADCAST_SURVIVOR_CAP
 
-        n = ids.count()
+        row = ids.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        ).collect()[0]
+        n = int(row["n"])
+        lo = int(row["lo"]) if row["lo"] is not None else None
+        hi = int(row["hi"]) if row["hi"] is not None else None
         entry = F.broadcast(ids) if n <= _BROADCAST_SURVIVOR_CAP else ids
-        if len(self._phrase_cache) >= self._phrase_cache_cap:
-            oldest = next(iter(self._phrase_cache))
-            self._phrase_cache.pop(oldest)[0].unpersist(blocking=False)
-        # cache (persisted base, hinted frame): unpersist resolves by plan
-        # identity, so eviction must go through the base — the hint
-        # wrapper's plan is not the one that was persisted
-        self._phrase_cache[key] = (ids, entry)
-        return entry
+        # cache (persisted base, hinted frame, n, lo, hi): unpersist
+        # resolves by plan identity, so eviction must go through the base —
+        # the hint wrapper's plan is not the one that was persisted.  The
+        # lock covers the LRU mutation only; evicted bases are unpersisted
+        # outside it.
+        evicted = None
+        with st.lock:
+            dup = st.phrase_cache.get(key)
+            if dup is not None:
+                # two threads missed the same key concurrently: keep the
+                # first-inserted entry (its frame may already back another
+                # in-flight query) and drop ours — without this, the loser's
+                # persisted base would stay pinned with no owner
+                evicted = ids
+                _base, hinted, n2, lo2, hi2 = dup
+                out = _CandSet(frame=hinted, n=n2, lo=lo2, hi=hi2)
+            else:
+                if len(st.phrase_cache) >= self._phrase_cache_cap:
+                    oldest = next(iter(st.phrase_cache))
+                    evicted = st.phrase_cache.pop(oldest)[0]
+                st.phrase_cache[key] = (ids, entry, n, lo, hi)
+                out = _CandSet(frame=entry, n=n, lo=lo, hi=hi)
+        if evicted is not None:
+            evicted.unpersist(blocking=False)
+        return out
 
-    def _score(self, terms: list[str], candidates: DataFrame | None = None,
-               k: int | None = None) -> DataFrame:
-        term_rows = self._lookup_cached(terms)
-        if self._blocks_serving:
+    def _score(self, st: _SnapshotState, terms: list[str],
+               cand: _CandSet | None = None, k: int | None = None,
+               wand_stats: dict | None = None) -> DataFrame:
+        term_rows = self._lookup_cached(terms, st)
+        if self._serves_blocks(st):
             # wand_top_k prunes and limits internally (honoring k — a
             # k > cfg.top_k request must not be capped by the config
             # default); re-limit happens in search_terms (idempotent)
             return W.wand_top_k(
-                self.blocks, self.docs, self.vocab, terms,
-                self.n_docs, self.avg_doc_len, self.scoring,
-                candidates=candidates,
+                st.blocks, st.docs, st.vocab, terms,
+                st.n_docs, st.avg_doc_len, self.scoring,
+                candidates=cand.frame if cand is not None else None,
                 term_rows=term_rows,
-                bounds_cache=self._bounds_cache,
-                persist_registry=self._persist_registry,
+                bounds_cache=st.bounds_cache,
+                persist_registry=st.persist_pool,
                 k=k,
+                prune=self.wand_prune,
+                stats=wand_stats,
+                candidate_range=(
+                    (cand.lo, cand.hi)
+                    if cand is not None and cand.lo is not None else None
+                ),
+                candidate_count=cand.n if cand is not None else None,
             )
         scored = score_query_terms(
-            self.postings, self.docs, self.vocab, terms,
-            self.n_docs, self.avg_doc_len, self.scoring,
+            self._postings_of(st), st.docs, st.vocab, terms,
+            st.n_docs, st.avg_doc_len, self.scoring,
             term_rows=term_rows,
         )
-        if candidates is not None:
-            scored = scored.join(candidates, "doc_id", "left_semi")
+        if cand is not None:
+            scored = scored.join(cand.frame, "doc_id", "left_semi")
         return scored
 
-    def _assemble(self, topk: DataFrame) -> DataFrame:
+    def _assemble(self, st: _SnapshotState, topk: DataFrame) -> DataFrame:
         """Result assembly (#31): <=k rows, broadcast joins only.
 
         Columns mirror SearchResult.java: rank metadata, doc identity,
@@ -368,12 +515,12 @@ class QueryEngine:
             "doc_id", "repo", "path", "commit", "lang",
             "title_len", "body_len", "sha256",
         ]
-        if "size_bytes" in self.docs.columns:  # Metadata.pageSize analog
+        if "size_bytes" in st.docs.columns:  # Metadata.pageSize analog
             meta_cols.append("size_bytes")
-        out = self.docs.select(*meta_cols).join(F.broadcast(topk), "doc_id")
-        if self.forward is not None:
+        out = st.docs.select(*meta_cols).join(F.broadcast(topk), "doc_id")
+        if st.forward is not None:
             # top-5 keywords: sort struct(tf desc, term_id asc), slice 5
-            kw = self.forward.select(
+            kw = st.forward.select(
                 "doc_id",
                 F.slice(
                     F.reverse(
@@ -409,7 +556,7 @@ class QueryEngine:
                 .select("doc_id", F.col("kwent.term_id").alias("term_id"), F.col("kwent.tf").alias("tf"))
             )
             exploded = (
-                self.vocab.select("term_id", "term")
+                st.vocab.select("term_id", "term")
                 .join(F.broadcast(exploded), "term_id")
                 .groupBy("doc_id")
                 .agg(
@@ -419,7 +566,7 @@ class QueryEngine:
                 )
             )
             out = out.join(F.broadcast(exploded), "doc_id", "left")
-        if self.links is not None:
+        if st.links is not None:
             # parent/child link lists (SearchResult parity via LinkIndexer
             # getParentLinks/getChildLinks, LinkIndexer.java:100-121): the
             # edge scan is filtered to the <=k result docs first, so each
@@ -429,12 +576,12 @@ class QueryEngine:
             # filtered edge set is the broadcast side, the docs table is
             # streamed past it — no docs shuffle.
             ids = topk.select("doc_id")
-            nbr_paths = self.docs.select(
+            nbr_paths = st.docs.select(
                 F.col("doc_id").alias("_nbr_id"), F.col("path").alias("_nbr_path")
             )
 
             def neighbor_lists(key_col: str, nbr_col: str, prefix: str) -> DataFrame:
-                edges = self.links.join(
+                edges = st.links.join(
                     F.broadcast(ids.withColumnRenamed("doc_id", key_col)), key_col
                 )
                 return (

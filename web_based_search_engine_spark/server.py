@@ -110,15 +110,20 @@ def render_result_page(keywords, phrase, rows) -> str:
     for r in rows:
         path = html.escape(r["path"] or "")
         href = html.escape(r["path"] or "", quote=True)
+        # field guards throughout: an index built without the forward /
+        # links / size_bytes tables assembles rows without those columns —
+        # /result must degrade like /search does, not 500 (ADVICE r4)
+        kw_rows = r["keywords"] if "keywords" in r.__fields__ else None
         kws = "".join(
-            f'{html.escape(k["term"])} {k["tf"]}; ' for k in (r["keywords"] or [])
+            f'{html.escape(k["term"])} {k["tf"]}; ' for k in (kw_rows or [])
         )
         size = r["size_bytes"] if "size_bytes" in r.__fields__ else r["body_len"]
+        commit = r["commit"] if "commit" in r.__fields__ else ""
         parts.append(
             "<li>\n"
             f'<h3>{r["score"]:.4f} <a href="{href}">{path}</a></h3>\n'
             f'<a href="{href}">{href}</a>\n'
-            f"<p>{html.escape(str(r['commit']))}, {size}</p>\n"
+            f"<p>{html.escape(str(commit))}, {size}</p>\n"
             f"<p>Keywords: {kws}</p>\n"
             "<p>Parent Links:</p>\n"
             f"{_link_list(r['parent_paths'] if 'parent_paths' in r.__fields__ else None)}\n"
@@ -209,9 +214,12 @@ def make_handler(engine):
                 self._json(404, {"error": "unknown path", "path": parsed.path})
                 return
             try:
-                # one cutover at a time; searches need no lock — they hold
-                # references to the snapshot's DataFrames for their whole
-                # execution, and rebinding the engine's handles is atomic
+                # one cutover at a time (two concurrent refreshes would
+                # race building states); searches need no lock because the
+                # engine's cutover is a single atomic swap of one immutable
+                # _SnapshotState object — a search captures the state once
+                # at entry and keeps its whole pipeline (handles AND cache
+                # write-backs) on that snapshot (plans/query.py refresh())
                 with refresh_lock:
                     engine.refresh()
                 self._json(200, {"status": "ok", "n_docs": engine.n_docs})
