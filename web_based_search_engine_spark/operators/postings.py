@@ -379,11 +379,24 @@ def build_index_frames(prepared: DataFrame, cfg: IndexConfig | None = None) -> I
     return IndexFrames(docs=docs, vocab=vocab, postings=postings, stats=stats)
 
 
-def forward_frame(postings: DataFrame, num_doc_buckets: int = 8) -> DataFrame:
+def forward_frame(postings: DataFrame, num_doc_buckets: int = 8,
+                  shuffle_partitions: int | None = None) -> DataFrame:
     """Forward index doc_id -> sorted (term_id, tf) entries, the map-5
     analog (InvertedIndex.java:17,33) — feeds top-5-keywords display
     (Indexer.java:196-203, SearchResult.java:33-44) and, in the
-    incremental path, the changed docs' old-term lookup."""
+    incremental path, the changed docs' old-term lookup.
+
+    ``shuffle_partitions`` sizes THIS stage's groupBy exchange by data
+    volume instead of the session conf (directive r4-7: collect_list has
+    no map-side combine — every posting row crosses the wire and the
+    reduce side buffers whole per-doc lists, so per-task row count, not
+    core count, is what must stay flat as the corpus grows).  The
+    explicit ``repartition(n, doc_id)`` satisfies the aggregation's
+    required distribution, so it IS the stage's only shuffle, with a
+    data-derived width the builder computes from the manifest's postings
+    row count."""
+    if shuffle_partitions:
+        postings = postings.repartition(int(shuffle_partitions), "doc_id")
     return postings.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(

@@ -157,10 +157,25 @@ class IndexBuilder:
                     "doc_id", (F.col("title_len") + F.col("body_len")).alias("len_d")
                 )
 
+            # forward's groupBy(doc_id).collect_list has no map-side
+            # combine, so its reduce tasks must be sized by DATA (postings
+            # rows), not by the session shuffle conf: ~1M posting rows per
+            # task keeps per-task buffering flat as the corpus grows
+            # (amortization probe r4: forward was the one stage whose
+            # per-doc cost rose at 2x input under a fixed 32-partition
+            # conf).  The manifest already knows the exact row count.
+            p_rows = int(self.storage.table_meta("postings").get("rows") or 0)
+            fwd_parts = max(
+                self.spark.sparkContext.defaultParallelism,
+                (p_rows + 999_999) // 1_000_000,
+            )
             forward_f = ex.submit(
                 do,
                 "forward",
-                lambda: P.forward_frame(self._read("postings"), cfg.num_doc_buckets),
+                lambda: P.forward_frame(
+                    self._read("postings"), cfg.num_doc_buckets,
+                    shuffle_partitions=fwd_parts,
+                ),
                 ["dbucket"],
             )
             blocks_f = ex.submit(
