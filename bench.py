@@ -146,6 +146,37 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
     q_p50 = samples[len(samples) // 2]
     q_p95 = samples[min(len(samples) - 1, int(len(samples) * 0.95))]
 
+    # Forced WAND pruning (directive r4-3): the auto-crossover keeps every
+    # bench-scale query on the exhaustive path, so the 100x-critical
+    # pruning plan had pytest evidence only.  Run the adversarial
+    # zipf-head + hot-term shapes with prune FORCED on and record
+    # {candidate_blocks, decoded_blocks, tau} — the recorded artifact that
+    # pruning ENGAGES (decoded << candidate) at bench scale.  Stats come
+    # from an untimed extra run (they cost two count jobs); timed reps are
+    # stats-free.
+    qe_forced = QueryEngine(
+        spark, storage, ScoringConfig(scorer="bm25"), mode="blocks",
+        wand_prune=True,
+    )
+    wand_evidence: dict[str, dict] = {}
+    for name in ("search_zipf_head", "search_hot_term", "search_broad"):
+        q = search_queries[name]
+        qe_forced.search(q, assemble=False).collect()  # warmup
+        per_q = []
+        for _ in range(reps):
+            t0 = time.time()
+            qe_forced.search(q, assemble=False).collect()
+            per_q.append(time.time() - t0)
+        results[f"{name}[wand_forced]"] = round(min(per_q), 3)
+        st: dict = {}
+        qe_forced.search(q, assemble=False, wand_stats=st).collect()
+        wand_evidence[name] = {
+            "latency_best_sec": round(min(per_q), 3),
+            "exhaustive_best_sec": results[f"{name}[blocks]"],
+            **{k: st.get(k) for k in
+               ("pruned", "candidate_blocks", "decoded_blocks", "tau")},
+        }
+
     # training-data ops + oracle queries via the driver entry surface
     import __spark_entry__ as entry
 
@@ -187,6 +218,7 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
         "query_p95_sec": round(q_p95, 3),
         "query_reps": reps,
         "queries": results,
+        "wand_pruning": wand_evidence,
     }
 
 
@@ -387,6 +419,7 @@ def main():
                 "docs_per_sec": r["docs_per_sec"],
                 "query_p50_sec": r["query_p50_sec"],
                 "query_p95_sec": r["query_p95_sec"],
+                "wand_pruning": r["wand_pruning"],
             }
         )
     )
