@@ -118,7 +118,8 @@ def main() -> None:
     )
     line = json.dumps(out)
     print(line)
-    with open(os.path.join(REPO, "bench", "amortization_r4.json"), "w") as f:
+    out_name = os.environ.get("SPARK_GRAFT_AMORT_OUT", "amortization_r4.json")
+    with open(os.path.join(REPO, "bench", out_name), "w") as f:
         f.write(line + "\n")
 
 

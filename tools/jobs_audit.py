@@ -47,6 +47,17 @@ def _rest(port: int, path: str):
         return json.loads(r.read())
 
 
+def _parse_ms(ts: str) -> float:
+    """REST timestamps look like 2026-08-19T05:10:11.123GMT — ms precision."""
+    base = time.mktime(time.strptime(ts[:19], "%Y-%m-%dT%H:%M:%S"))
+    frac = 0.0
+    if len(ts) > 20 and ts[19] == ".":
+        digits = ts[20:23]
+        if digits.isdigit():
+            frac = int(digits) / 1000.0
+    return base + frac
+
+
 def jobs_for_group(spark, port: int, app_id: str, gid: str) -> list[dict]:
     jobs = _rest(port, f"/api/v1/applications/{app_id}/jobs?status=succeeded")
     out = []
@@ -54,16 +65,33 @@ def jobs_for_group(spark, port: int, app_id: str, gid: str) -> list[dict]:
         if j.get("jobGroup") != gid:
             continue
         try:
-            t0 = time.strptime(j["submissionTime"][:19], "%Y-%m-%dT%H:%M:%S")
-            t1 = time.strptime(j["completionTime"][:19], "%Y-%m-%dT%H:%M:%S")
-            dur = time.mktime(t1) - time.mktime(t0)
+            dur = round(_parse_ms(j["completionTime"]) - _parse_ms(j["submissionTime"]), 3)
         except Exception:
             dur = None
+        # stage-level attribution: the job-name callsite is always the final
+        # collect; the STAGE names say what each job actually computed
+        # (broadcast-exchange build vs the result job's shuffle stages).
+        stages = []
+        for sid in sorted(j.get("stageIds") or []):
+            try:
+                for att in _rest(port, f"/api/v1/applications/{app_id}/stages/{sid}"):
+                    stages.append({
+                        "stage_id": sid,
+                        "name": (att.get("name") or "")[:120],
+                        "num_tasks": att.get("numTasks"),
+                        "executor_run_time_ms": att.get("executorRunTime"),
+                        "wall_ms": round(
+                            (_parse_ms(att["completionTime"]) - _parse_ms(att["firstTaskLaunchedTime"])) * 1000
+                        ) if att.get("completionTime") and att.get("firstTaskLaunchedTime") else None,
+                    })
+            except Exception:
+                stages.append({"stage_id": sid, "name": "<skipped/unfetched>"})
         out.append({
             "job_id": j["jobId"],
             "name": (j.get("name") or "")[:120],
-            "duration_sec_floor": dur,  # REST truncates to seconds
+            "duration_sec": dur,
             "num_tasks": j.get("numTasks"),
+            "stages": stages,
         })
     return sorted(out, key=lambda x: x["job_id"])
 
