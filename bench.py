@@ -52,6 +52,63 @@ def build_corpus(spark, sf_dir):
     return corpus_df_distributed(spark, bench_n_docs(sf_dir))
 
 
+def wand_adversarial_run(spark, workdir: str, n_docs: int) -> dict:
+    """Block-max WAND pruning evidence at a size where pruning wins.
+
+    Builds the adversarial Zipf-head corpus (one df=n/2 term whose blocks
+    are almost all tf=1; 64 saturating docs pin the threshold), then times
+    the SAME query exhaustive vs forced-prune (warm, min-of-3) and records
+    {candidate_blocks, decoded_blocks, tau} plus a losslessness check
+    (top-1 doc + score equality)."""
+    import os as _os
+
+    from web_based_search_engine_spark import fixtures
+    from web_based_search_engine_spark.config import IndexConfig, ScoringConfig
+    from web_based_search_engine_spark.operators import wand as W
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+
+    storage = ParquetIndexStorage(_os.path.join(workdir, "idx_wand_adv"))
+    t0 = time.time()
+    IndexBuilder(
+        spark, storage,
+        IndexConfig(num_term_buckets=8, block_size=128, salt_buckets=8),
+    ).build(fixtures.adversarial_wand_corpus(spark, n_docs), resume=False)
+    build_sec = time.time() - t0
+
+    blocks = storage.read_table(spark, "blocks")
+    docs = storage.read_table(spark, "docs")
+    vocab = storage.read_table(spark, "vocab")
+    st = storage.read_table(spark, "stats").collect()[0]
+    cfg = ScoringConfig(scorer="bm25")
+    terms = ["zzhot", "zzrare"]
+
+    out = {"n_docs": n_docs, "build_sec": round(build_sec, 2)}
+    tops = {}
+    # shared bounds cache = warm-serving semantics (QueryEngine passes its
+    # snapshot bounds_cache, so repeated terms never re-aggregate bounds)
+    bcache: dict = {}
+    for prune, key in ((False, "exhaustive"), (True, "pruned")):
+        W.wand_top_k(blocks, docs, vocab, terms, st["n_docs"],
+                     st["avg_doc_len"], cfg, prune=prune, k=50,
+                     bounds_cache=bcache).collect()
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            W.wand_top_k(blocks, docs, vocab, terms, st["n_docs"],
+                         st["avg_doc_len"], cfg, prune=prune, k=50,
+                         bounds_cache=bcache).collect()
+            walls.append(time.time() - t0)
+        stats: dict = {}
+        rows = W.wand_top_k(blocks, docs, vocab, terms, st["n_docs"],
+                            st["avg_doc_len"], cfg, prune=prune, k=50,
+                            stats=stats, bounds_cache=bcache).collect()
+        tops[key] = [(r["doc_id"], round(r["score"], 10)) for r in rows]
+        out[key] = {"best_sec": round(min(walls), 3), **stats}
+    out["lossless_topk_equal"] = tops["exhaustive"] == tops["pruned"]
+    return out
+
+
 def run_suite(spark, sf_dir: str, workdir: str) -> dict:
     from web_based_search_engine_spark.config import IndexConfig, ScoringConfig
     from web_based_search_engine_spark.plans.build import IndexBuilder
@@ -208,8 +265,24 @@ def run_suite(spark, sf_dir: str, workdir: str) -> dict:
         results[name] = round(min(per_q), 3)
 
     total = time.time() - t_total
+
+    # Adversarial block-max pruning at a size where pruning WINS
+    # (directive r4-3 done-bar: decoded_blocks << candidate_blocks AND
+    # latency <= exhaustive at that size).  The sf-corpus shapes above
+    # have no prunable structure (per-block max tf ~= the global max when
+    # 128 random docs share a block), so this section builds the
+    # adversarial Zipf-head corpus (fixtures.adversarial_wand_corpus) at a
+    # size whose exhaustive decode + len_d join dwarf the pruned path's
+    # fixed jobs.  Runs AFTER total_sec is computed so suite-wall numbers
+    # stay comparable across rounds; 0 docs disables.
+    adv_n = int(os.environ.get("SPARK_GRAFT_WAND_ADV_DOCS", "2000000"))
+    wand_adversarial = None
+    if adv_n:
+        wand_adversarial = wand_adversarial_run(spark, workdir, adv_n)
+
     return {
         "total_sec": round(total, 3),
+        "wand_pruning_adversarial": wand_adversarial,
         "build_sec": round(build_sec, 3),
         "build_trials": [round(t, 3) for t in build_trials],
         "n_docs": n_docs,

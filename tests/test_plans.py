@@ -128,3 +128,49 @@ def test_cc_star_round_has_no_window(spark):
         plan = _plan(half_round)
         assert "Window" not in plan, "CC round plans a Window over the adjacency"
         assert "partial_min" in plan, "per-node min is not map-side combined"
+
+
+def test_wand_prune_filters_push_down(spark, tmp_path):
+    """r5: the pruned path's scale contract is that pruning reaches the
+    SCANS — (a) the final block scan carries a pushable per-term
+    max_wtf >= w* necessary condition (row groups of low-tf blocks are
+    skipped by parquet stats, their payload bytes never read), and (b) the
+    scoring join's docs side is range-pruned by the surviving blocks'
+    stored doc-id span (no per-query full docs scan).  Both layers are
+    strict weakenings of the exact bound, so the result must stay
+    bit-identical to exhaustive."""
+    from web_based_search_engine_spark import fixtures
+    from web_based_search_engine_spark.config import IndexConfig
+    from web_based_search_engine_spark.operators import wand as W
+    from web_based_search_engine_spark.plans.build import IndexBuilder
+    from web_based_search_engine_spark.sources.catalog import ParquetIndexStorage
+
+    storage = ParquetIndexStorage(tmp_path / "idx")
+    IndexBuilder(
+        spark, storage, IndexConfig(num_term_buckets=2, block_size=16, salt_buckets=2)
+    ).build(fixtures.adversarial_wand_corpus(spark, 5000), resume=False)
+    blocks = storage.read_table(spark, "blocks")
+    docs = storage.read_table(spark, "docs")
+    vocab = storage.read_table(spark, "vocab")
+    st = storage.read_table(spark, "stats").collect()[0]
+
+    stats: dict = {}
+    pruned = W.wand_top_k(
+        blocks, docs, vocab, ["zzhot", "zzrare"], st["n_docs"],
+        st["avg_doc_len"], prune=True, k=10, stats=stats,
+    )
+    plan = _plan(pruned)
+    # (a) the max_wtf necessary condition reached a parquet scan
+    assert "GreaterThanOrEqual(max_wtf" in plan, plan
+    # (b) the docs scan is doc_id-range pruned (literal bounds pushed)
+    assert "GreaterThanOrEqual(doc_id" in plan and "LessThanOrEqual(doc_id" in plan, plan
+    # pruning engaged and stayed lossless
+    rows_p = pruned.collect()
+    rows_f = W.wand_top_k(
+        blocks, docs, vocab, ["zzhot", "zzrare"], st["n_docs"],
+        st["avg_doc_len"], prune=False, k=10,
+    ).collect()
+    assert stats["decoded_blocks"] * 2 <= stats["candidate_blocks"], stats
+    assert [(r["doc_id"], round(r["score"], 12)) for r in rows_p] == [
+        (r["doc_id"], round(r["score"], 12)) for r in rows_f
+    ]

@@ -263,3 +263,26 @@ REFERENCE_QUERIES = {
     "q13": "Hello-World FOO_BAR",           # tokenize/clean parity
     "q14": "agreed happy flies searching engines running posting scoring cats does",  # broad
 }
+
+
+def adversarial_wand_corpus(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Block-max WAND adversarial corpus (bench + plan tests): one Zipf-head
+    term (``zzhot``, df = n/2) whose posting blocks are almost all tf=1, a
+    tiny saturating doc set (ids < 64: ``zzrare`` + zzhot x16) that pins the
+    top-k threshold at the combined upper bound, and inert pads.  The shape
+    where block-max pruning MUST engage: every tf=1-only hot block's bound
+    sits below the threshold the 64 saturating docs set.  Fully distributed
+    (``spark.range`` + Catalyst literals), deterministic."""
+    from pyspark.sql import functions as F
+
+    pad = "pad0 pad1 pad2 pad3 pad4 pad5 pad6"
+    return spark.range(n_docs).select(
+        F.lit("r/z").alias("repo"),
+        F.format_string("d%09d.py", F.col("id")).alias("path"),
+        F.lit("c1").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.when(F.col("id") < 64, F.lit("zzrare " + " ".join(["zzhot"] * 16)))
+        .when(F.col("id") % 2 == 0, F.lit("zzhot " + pad))
+        .otherwise(F.lit("pad7 " + pad))
+        .alias("content"),
+    )

@@ -63,7 +63,9 @@ class PersistPool:
     holds the most recent ``capacity`` pinned frames under a lock: with
     capacity >= the server's concurrency no in-flight frame is ever
     evicted, and total pinned storage stays bounded at ``capacity``
-    queries' pruned blocks.  ``evictions`` instruments the no-mid-flight-
+    queries' pinned frames (since r5 those are stats-only block-metadata
+    projections — a few columns per candidate block, payloads never
+    cached).  ``evictions`` instruments the no-mid-flight-
     unpersist claim for tests."""
 
     def __init__(self, capacity: int = 8):
@@ -168,7 +170,8 @@ def wand_top_k(
     bounded registry — the serving engine's choice) or a legacy
     caller-owned list (serial semantics: this call first unpersists and
     removes whatever is in it, then appends its own frame — AT MOST one
-    query's pruned block set stays pinned).
+    query's pruned block METADATA stays pinned — payload columns are never
+    cached by the prune path).
     ``k``: result size (defaults to cfg.top_k) — both the pruning
     threshold (k-th seed score) and the final cut honor it, so callers
     requesting k > cfg.top_k are not silently capped.
@@ -294,42 +297,143 @@ def wand_top_k(
     gub = {tid: global_ub(tid) for tid in term_ids}
     total_gub = sum(gub.values())
 
-    # persist: the threshold pass and the final pruned scan read the same
-    # pruned block set.  Not unpersisted here — the returned DataFrame is
-    # lazy and still references it; the NEXT call through the same
-    # persist_registry releases it (bounded at one query's blocks), and
-    # callers without a registry fall back to LRU eviction.
-    cand = cand.persist()
-    if isinstance(persist_registry, PersistPool):
-        persist_registry.pin(cand)
-    elif persist_registry is not None:
-        persist_registry.append(cand)
-
-    # threshold pass: best block per term only (by query-time ub)
-    w = Window.partitionBy("term_id").orderBy(F.desc(ub), "block_id")
-    best_blocks = cand.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") == 1
+    # Persist METADATA only (r5): the old path persisted the full candidate
+    # frame, which materialized every candidate block's payload columns into
+    # the cache — the exact decode-sized cost block-max pruning exists to
+    # avoid, and it scaled the pruned path with corpus size (measured: at a
+    # 2M-doc adversarial corpus the pruned query cost MORE than exhaustive
+    # despite decoding 2 of 7814 blocks).  The threshold pass only needs
+    # per-block stats, so persist the stats-only projection (a few scalars
+    # per block, no payloads); the seed and final scans read the payload
+    # frame lazily through PUSHABLE filters (below), so payload bytes of
+    # pruned blocks are never read at all.
+    meta = cand.select(
+        "bucket", "term_id", "block_id", "max_wtf", "min_len_d",
+        "first_doc_id", "last_doc_id",
     )
+    meta = meta.persist()
+    if isinstance(persist_registry, PersistPool):
+        persist_registry.pin(meta)
+    elif persist_registry is not None:
+        persist_registry.append(meta)
+
+    # threshold pass: one seed block per term, chosen as the best
+    # query-time ub AMONG blocks holding the term's global max_wtf.  Any
+    # decoded subset yields a valid (lossless) threshold — partial sums
+    # never exceed true scores — so restricting the pick to max_wtf == gw
+    # blocks trades nothing, and it makes the payload fetch PUSHABLE:
+    # (term_id = t AND max_wtf = gw_t AND block_id = b) is a plain
+    # conjunction of comparisons parquet row-group stats can skip on,
+    # where a bare block_id literal cannot skip when row groups span the
+    # term's whole block range.  The tiny collect (one row per query term)
+    # doubles as the meta persist's materialization job.
+    w = Window.partitionBy("term_id").orderBy(F.desc(ub), "block_id")
+    seed_pick = None
+    for tid in term_ids:
+        gw_t = bounds[tid][0]
+        clause = (F.col("term_id") == tid) & (F.col("max_wtf") >= F.lit(gw_t))
+        seed_pick = clause if seed_pick is None else (seed_pick | clause)
+    best = (
+        meta.where(seed_pick)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("term_id", "block_id", "first_doc_id", "last_doc_id")
+        .collect()
+    )
+    if not best:
+        return spark.createDataFrame([], "doc_id long, score double")
+    seed_filter = None
+    for r in best:
+        gw_t = bounds[r["term_id"]][0]
+        clause = (
+            (F.col("term_id") == r["term_id"])
+            & (F.col("max_wtf") >= F.lit(gw_t))
+            & (F.col("block_id") == r["block_id"])
+        )
+        seed_filter = clause if seed_filter is None else (seed_filter | clause)
+    # The scoring join's docs side (len_d lookup) is range-pruned with the
+    # seed blocks' stored doc-id spans — literal BETWEENs push into the
+    # docs scan, so the seed pass never scans the whole docs table (at
+    # corpus scale the per-query full docs scan, not the block decode, is
+    # what grows with N).
+    seed_docs = None
+    for r in best:
+        span = F.col("doc_id").between(
+            int(r["first_doc_id"]), int(r["last_doc_id"])
+        )
+        seed_docs = span if seed_docs is None else (seed_docs | span)
     seed_scores = _score_decoded(
-        B.decode_blocks(best_blocks.drop("_rn")), docs, df_map, n_docs, avg_doc_len,
-        cfg, candidates,
+        B.decode_blocks(cand.where(seed_filter)), docs.where(seed_docs),
+        df_map, n_docs, avg_doc_len, cfg, candidates,
     )
     kth = (
         seed_scores.orderBy(F.desc("score")).limit(k).collect()
     )
     tau = kth[-1]["score"] if len(kth) >= k else 0.0
 
-    # lossless block pruning against tau
+    # lossless block pruning against tau.  Two layers:
+    # 1. a PUSHABLE per-term necessary condition on max_wtf alone: the
+    #    exact bound ub(w, len) is increasing in w and decreasing in len,
+    #    and every block's min_len_d >= the term's global gl, so
+    #    ub(w, block) <= ub(w, gl) = A*w/(w+K(gl)) with A = idf*(k1+1).
+    #    A block can only survive the exact test if
+    #    A*w/(w+K(gl)) >= tau_t := tau - other_max(t), i.e.
+    #    w >= w*_t = K(gl)*tau_t/(A - tau_t)  (no constraint when
+    #    tau_t <= 0; the whole term drops when tau_t >= A — impossible for
+    #    the k-th seed doc's own blocks, so survivors are never empty).
+    #    (term_id = t AND max_wtf >= w*_t) is a conjunction of plain
+    #    comparisons, so the parquet reader skips row groups / files whose
+    #    max(max_wtf) stat sits below the threshold — pruned payload bytes
+    #    are NEVER READ, which is where block-max pruning actually saves
+    #    time on a columnar store (the exact ub expression below is
+    #    Catalyst-computed and cannot push down).
+    # 2. the exact per-block bound, identical to before — layer 1 is a
+    #    strict weakening, so the surviving set (and the result) is
+    #    byte-identical with or without it.
     other_max = F.create_map(
         *[x for tid in term_ids for x in (F.lit(tid), F.lit(total_gub - gub[tid]))]
     )
-    keep = cand.where(ub + other_max[F.col("term_id")] >= F.lit(tau))
+    pushed = None
+    for tid in term_ids:
+        tau_t = tau - (total_gub - gub[tid])
+        a_t = idf_by_term[tid] * (cfg.k1 + 1.0)
+        gl_t = bounds[tid][1]
+        k_gl = cfg.k1 * (1.0 - cfg.b + cfg.b * gl_t / float(avg_doc_len))
+        if tau_t <= 0.0:
+            clause = F.col("term_id") == tid
+        elif tau_t >= a_t:
+            continue  # no block of this term can reach tau
+        else:
+            w_star = k_gl * tau_t / (a_t - tau_t) - 1e-9  # float-edge slack
+            clause = (F.col("term_id") == tid) & (
+                F.col("max_wtf") >= F.lit(w_star)
+            )
+        pushed = clause if pushed is None else (pushed | clause)
+    exact = ub + other_max[F.col("term_id")] >= F.lit(tau)
+    keep = cand.where(pushed) if pushed is not None else cand
+    keep = keep.where(exact)
+    # Survivor doc-id span from the CACHED metadata (one tiny agg over the
+    # persisted stats projection): range-prunes the scoring join's docs
+    # side the same way the seed pass does — without it, every pruned
+    # query still paid a full docs-table scan for the len_d lookup.
+    surv_meta = meta.where(pushed) if pushed is not None else meta
+    span = surv_meta.where(exact).agg(
+        F.min("first_doc_id").alias("lo"), F.max("last_doc_id").alias("hi"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    ).collect()[0]
+    if span["n_blocks"] == 0:
+        # unreachable when k seeds exist (the k-th seed's blocks always
+        # survive their own bound), but tau=0.0 underfull corpora keep all
+        return top_k(
+            _score_decoded(B.decode_blocks(keep), docs, df_map, n_docs,
+                           avg_doc_len, cfg, candidates), k)
+    docs_f = docs.where(F.col("doc_id").between(int(span["lo"]), int(span["hi"])))
     if stats is not None:
         stats.update(
             {"pruned": True, "candidate_blocks": cand_pre_skip.count(),
-             "decoded_blocks": keep.count(), "tau": tau}
+             "decoded_blocks": int(span["n_blocks"]), "tau": tau}
         )
     scored = _score_decoded(
-        B.decode_blocks(keep), docs, df_map, n_docs, avg_doc_len, cfg, candidates
+        B.decode_blocks(keep), docs_f, df_map, n_docs, avg_doc_len, cfg, candidates
     )
     return top_k(scored, k)
