@@ -493,6 +493,7 @@ def main():
                 "query_p50_sec": r["query_p50_sec"],
                 "query_p95_sec": r["query_p95_sec"],
                 "wand_pruning": r["wand_pruning"],
+                "wand_pruning_adversarial": r.get("wand_pruning_adversarial"),
             }
         )
     )

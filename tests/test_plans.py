@@ -130,7 +130,7 @@ def test_cc_star_round_has_no_window(spark):
         assert "partial_min" in plan, "per-node min is not map-side combined"
 
 
-def test_wand_prune_filters_push_down(spark, tmp_path):
+def test_wand_prune_filters_push_down(spark, tmp_path, monkeypatch):
     """r5: the pruned path's scale contract is that pruning reaches the
     SCANS — (a) the final block scan carries a pushable per-term
     max_wtf >= w* necessary condition (row groups of low-tf blocks are
@@ -154,6 +154,9 @@ def test_wand_prune_filters_push_down(spark, tmp_path):
     vocab = storage.read_table(spark, "vocab")
     st = storage.read_table(spark, "stats").collect()[0]
 
+    # force the WIDE prune layout (the scan-pushdown path under test) —
+    # this corpus sits below the measured block-count crossover
+    monkeypatch.setattr(W, "WIDE_PRUNE_CROSSOVER", 0)
     stats: dict = {}
     pruned = W.wand_top_k(
         blocks, docs, vocab, ["zzhot", "zzrare"], st["n_docs"],

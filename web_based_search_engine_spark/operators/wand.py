@@ -51,6 +51,17 @@ from .scoring import bm25_term_score, lookup_terms, top_k
 # the min/max range filter still applies unconditionally.
 CANDIDATE_EXACT_SKIP_CAP = 8192
 
+# Prune-layout crossover (r5): below this many candidate blocks the narrow
+# layout (persist the candidate frame once, seed + final scan reuse the
+# cache, 2 jobs) wins; above it the wide layout (metadata-only persist +
+# pushable scan filters + doc-range-pruned scoring joins) wins because the
+# payload volume dwarfs its ~2 extra driver jobs.  Measured on local[32]:
+# narrow-forced 1.0-1.3 s at 192-991 blocks where wide-forced reads 2.1 s;
+# wide 2.0 s vs narrow 2.9-3.2 s at 7814 blocks (2M-doc adversarial corpus,
+# where wide also beats exhaustive 2.4 s).  Tests monkeypatch this to force
+# a layout.
+WIDE_PRUNE_CROSSOVER = 2048
+
 
 class PersistPool:
     """Concurrency-safe bounded registry of per-query persisted frames.
@@ -297,21 +308,29 @@ def wand_top_k(
     gub = {tid: global_ub(tid) for tid in term_ids}
     total_gub = sum(gub.values())
 
-    # Persist METADATA only (r5): the old path persisted the full candidate
-    # frame, which materialized every candidate block's payload columns into
-    # the cache — the exact decode-sized cost block-max pruning exists to
-    # avoid, and it scaled the pruned path with corpus size (measured: at a
-    # 2M-doc adversarial corpus the pruned query cost MORE than exhaustive
-    # despite decoding 2 of 7814 blocks).  The threshold pass only needs
-    # per-block stats, so persist the stats-only projection (a few scalars
-    # per block, no payloads); the seed and final scans read the payload
-    # frame lazily through PUSHABLE filters (below), so payload bytes of
-    # pruned blocks are never read at all.
-    meta = cand.select(
-        "bucket", "term_id", "block_id", "max_wtf", "min_len_d",
-        "first_doc_id", "last_doc_id",
-    )
-    meta = meta.persist()
+    # Two prune layouts, split by candidate width (r5).  NARROW (few
+    # candidate blocks): persist the full candidate frame once — the seed
+    # pass materializes the cache, the final scan reuses it, 2 jobs total;
+    # the payload volume is small, so cache reuse beats everything.  WIDE
+    # (past ~WIDE_PRUNE_CROSSOVER blocks): persisting payloads would
+    # materialize the exact decode-sized cost pruning exists to avoid
+    # (measured: 2M-doc adversarial corpus, pruned cost MORE than
+    # exhaustive despite decoding 2 of 7814 blocks), so persist only the
+    # stats projection (a few scalars per block) and reach the payloads
+    # through PUSHABLE scan filters — the seed via literal best-block
+    # conjunctions, the final scan via a per-term max_wtf >= w* necessary
+    # condition + a doc-id-range-pruned docs join — so pruned payload row
+    # groups are never read at all.  Both layouts are lossless; the extra
+    # driver jobs the wide layout pays (~2) are noise once the candidate
+    # payload is big enough to matter.
+    wide = sum((r["df"] + 127) // 128 for r in qt) > WIDE_PRUNE_CROSSOVER
+    if wide:
+        meta = cand.select(
+            "bucket", "term_id", "block_id", "max_wtf", "min_len_d",
+            "first_doc_id", "last_doc_id",
+        ).persist()
+    else:
+        meta = cand.persist()
     if isinstance(persist_registry, PersistPool):
         persist_registry.pin(meta)
     elif persist_registry is not None:
@@ -328,42 +347,55 @@ def wand_top_k(
     # term's whole block range.  The tiny collect (one row per query term)
     # doubles as the meta persist's materialization job.
     w = Window.partitionBy("term_id").orderBy(F.desc(ub), "block_id")
-    seed_pick = None
-    for tid in term_ids:
-        gw_t = bounds[tid][0]
-        clause = (F.col("term_id") == tid) & (F.col("max_wtf") >= F.lit(gw_t))
-        seed_pick = clause if seed_pick is None else (seed_pick | clause)
-    best = (
-        meta.where(seed_pick)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("term_id", "block_id", "first_doc_id", "last_doc_id")
-        .collect()
-    )
-    if not best:
-        return spark.createDataFrame([], "doc_id long, score double")
-    seed_filter = None
-    for r in best:
-        gw_t = bounds[r["term_id"]][0]
-        clause = (
-            (F.col("term_id") == r["term_id"])
-            & (F.col("max_wtf") >= F.lit(gw_t))
-            & (F.col("block_id") == r["block_id"])
+    if wide:
+        seed_pick = None
+        for tid in term_ids:
+            gw_t = bounds[tid][0]
+            clause = (F.col("term_id") == tid) & (F.col("max_wtf") >= F.lit(gw_t))
+            seed_pick = clause if seed_pick is None else (seed_pick | clause)
+        best = (
+            meta.where(seed_pick)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("term_id", "block_id", "first_doc_id", "last_doc_id")
+            .collect()
         )
-        seed_filter = clause if seed_filter is None else (seed_filter | clause)
-    # The scoring join's docs side (len_d lookup) is range-pruned with the
-    # seed blocks' stored doc-id spans — literal BETWEENs push into the
-    # docs scan, so the seed pass never scans the whole docs table (at
-    # corpus scale the per-query full docs scan, not the block decode, is
-    # what grows with N).
-    seed_docs = None
-    for r in best:
-        span = F.col("doc_id").between(
-            int(r["first_doc_id"]), int(r["last_doc_id"])
+        if not best:
+            return spark.createDataFrame([], "doc_id long, score double")
+        seed_filter = None
+        for r in best:
+            gw_t = bounds[r["term_id"]][0]
+            clause = (
+                (F.col("term_id") == r["term_id"])
+                & (F.col("max_wtf") >= F.lit(gw_t))
+                & (F.col("block_id") == r["block_id"])
+            )
+            seed_filter = clause if seed_filter is None else (seed_filter | clause)
+        # The scoring join's docs side (len_d lookup) is range-pruned with
+        # the seed blocks' stored doc-id spans — literal BETWEENs push into
+        # the docs scan, so the seed pass never scans the whole docs table
+        # (at corpus scale the per-query full docs scan, not the block
+        # decode, is what grows with N).
+        seed_docs = None
+        for r in best:
+            span = F.col("doc_id").between(
+                int(r["first_doc_id"]), int(r["last_doc_id"])
+            )
+            seed_docs = span if seed_docs is None else (seed_docs | span)
+        seed_src = cand.where(seed_filter)
+        seed_docs_side = docs.where(seed_docs)
+    else:
+        # narrow: the window's rn=1 pick decodes straight from the cached
+        # candidate frame — no collect round-trip, and this seed job IS the
+        # persist's materialization
+        seed_src = (
+            meta.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
         )
-        seed_docs = span if seed_docs is None else (seed_docs | span)
+        seed_docs_side = docs
     seed_scores = _score_decoded(
-        B.decode_blocks(cand.where(seed_filter)), docs.where(seed_docs),
+        B.decode_blocks(seed_src), seed_docs_side,
         df_map, n_docs, avg_doc_len, cfg, candidates,
     )
     kth = (
@@ -410,28 +442,34 @@ def wand_top_k(
             )
         pushed = clause if pushed is None else (pushed | clause)
     exact = ub + other_max[F.col("term_id")] >= F.lit(tau)
-    keep = cand.where(pushed) if pushed is not None else cand
+    base = cand if wide else meta  # narrow: decode from the cached frame
+    keep = base.where(pushed) if pushed is not None else base
     keep = keep.where(exact)
-    # Survivor doc-id span from the CACHED metadata (one tiny agg over the
-    # persisted stats projection): range-prunes the scoring join's docs
-    # side the same way the seed pass does — without it, every pruned
-    # query still paid a full docs-table scan for the len_d lookup.
-    surv_meta = meta.where(pushed) if pushed is not None else meta
-    span = surv_meta.where(exact).agg(
-        F.min("first_doc_id").alias("lo"), F.max("last_doc_id").alias("hi"),
-        F.count(F.lit(1)).alias("n_blocks"),
-    ).collect()[0]
-    if span["n_blocks"] == 0:
-        # unreachable when k seeds exist (the k-th seed's blocks always
-        # survive their own bound), but tau=0.0 underfull corpora keep all
-        return top_k(
-            _score_decoded(B.decode_blocks(keep), docs, df_map, n_docs,
-                           avg_doc_len, cfg, candidates), k)
-    docs_f = docs.where(F.col("doc_id").between(int(span["lo"]), int(span["hi"])))
+    docs_f = docs
+    decoded_count = None
+    if wide:
+        # Survivor doc-id span from the CACHED metadata (one tiny agg over
+        # the persisted stats projection): range-prunes the scoring join's
+        # docs side the same way the seed pass does — without it, every
+        # wide pruned query still paid a full docs-table scan for len_d.
+        surv_meta = meta.where(pushed) if pushed is not None else meta
+        span = surv_meta.where(exact).agg(
+            F.min("first_doc_id").alias("lo"), F.max("last_doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        ).collect()[0]
+        decoded_count = int(span["n_blocks"])
+        if decoded_count:
+            # (n_blocks == 0 is unreachable when k seeds exist — the k-th
+            # seed's blocks always survive their own bound — but tau=0.0
+            # underfull corpora keep everything, spans included)
+            docs_f = docs.where(
+                F.col("doc_id").between(int(span["lo"]), int(span["hi"]))
+            )
     if stats is not None:
         stats.update(
             {"pruned": True, "candidate_blocks": cand_pre_skip.count(),
-             "decoded_blocks": int(span["n_blocks"]), "tau": tau}
+             "decoded_blocks": decoded_count if decoded_count is not None
+             else keep.count(), "tau": tau}
         )
     scored = _score_decoded(
         B.decode_blocks(keep), docs_f, df_map, n_docs, avg_doc_len, cfg, candidates
