@@ -155,6 +155,16 @@ def _decode_nested_positions(lens_buf: bytes, pos_buf: bytes) -> list[np.ndarray
 # block table schema + encoder
 # ---------------------------------------------------------------------------
 
+# Writer options for the blocks table: WAND's pushed filters (max_wtf >=
+# w*, doc-id spans, seed block literals — operators/wand.py) prune at
+# parquet ROW-GROUP granularity, so group size is the skipping resolution.
+# The datasource default (one ~128 MiB group) usually means one group per
+# file at bucket scale — stats span everything, nothing skips.  ~4 MiB
+# groups give fine-grained stats at negligible full-scan overhead (the
+# blocks table is the selective-read table; only build-adjacent ops scan
+# it whole).
+BLOCKS_WRITE_OPTIONS = {"parquet.block.size": str(4 * 1024 * 1024)}
+
 BLOCKS_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.IntegerType(), False),

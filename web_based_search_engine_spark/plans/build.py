@@ -96,13 +96,14 @@ class IndexBuilder:
         st = self.storage
         cfg = self.cfg
 
-        def do(stage: str, fn, partition_by=None):
+        def do(stage: str, fn, partition_by=None, write_options=None):
             if resume and st.stage_done(stage):
                 skipped.add(stage)
                 return
             ts = time.time()
             df = fn()
-            st.write_table(df, stage, partition_by=partition_by, stage=stage)
+            st.write_table(df, stage, partition_by=partition_by, stage=stage,
+                           write_options=write_options)
             stage_seconds[stage] = round(time.time() - ts, 3)
             run.add(stage)
 
@@ -178,11 +179,17 @@ class IndexBuilder:
                 ),
                 ["dbucket"],
             )
+            # blocks is the selective-read table (WAND's pushed max_wtf /
+            # doc-span filters prune at ROW-GROUP granularity): cap row
+            # groups at ~4 MiB so per-group stats are fine enough to skip
+            # on — one default 128 MiB group per file makes every stat
+            # span the whole file and skips nothing.
             blocks_f = ex.submit(
                 do,
                 "blocks",
                 lambda: B.encode_blocks(self._read("postings"), doc_lens(), cfg),
                 ["bucket"],
+                B.BLOCKS_WRITE_OPTIONS,
             )
             do(
                 "docs",

@@ -109,14 +109,22 @@ class ParquetIndexStorage:
         partition_by: list[str] | None = None,
         stage: str | None = None,
         extra_meta: dict[str, Any] | None = None,
+        write_options: dict[str, str] | None = None,
     ) -> str:
         """Write ``df`` as a new immutable version of ``name`` and commit it
-        to the manifest (with per-partition lineage + row count)."""
+        to the manifest (with per-partition lineage + row count).
+        ``write_options``: per-table datasource writer options — e.g. the
+        blocks table sets a small ``parquet.block.size`` so max_wtf /
+        doc-id-span row-group stats have skipping granularity (wand.py's
+        pushed filters prune at row-group level; one giant row group per
+        file makes every stat span everything and skips nothing)."""
         m = self._effective_manifest()
         version = int(m["tables"].get(name, {}).get("version", 0)) + 1
         path = self.root / "tables" / name / f"v{version}"
         t0 = time.time()
         w = df.write.mode("overwrite")
+        for ok, ov in (write_options or {}).items():
+            w = w.option(ok, ov)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(str(path))
@@ -208,6 +216,7 @@ class ParquetIndexStorage:
         changed_values: list,
         stage: str | None = None,
         extra_meta: dict[str, Any] | None = None,
+        write_options: dict[str, str] | None = None,
     ) -> str:
         """Partition-granular overwrite: write a new immutable version of
         ``name`` in which only the partitions listed in ``changed_values``
@@ -224,13 +233,16 @@ class ParquetIndexStorage:
         A changed partition with no surviving rows simply disappears."""
         m = self._effective_manifest()
         if name not in m["tables"]:
-            return self.write_table(df, name, partition_by, stage, extra_meta)
+            return self.write_table(df, name, partition_by, stage, extra_meta,
+                                    write_options=write_options)
         prev = m["tables"][name]
         pcol = partition_by[0]
         version = int(prev["version"]) + 1
         path = self.root / "tables" / name / f"v{version}"
         t0 = time.time()
         w = df.write.mode("overwrite").partitionBy(*partition_by)
+        for ok, ov in (write_options or {}).items():
+            w = w.option(ok, ov)
         w.parquet(str(path))
 
         changed_dirs = {f"{pcol}={v}" for v in changed_values}

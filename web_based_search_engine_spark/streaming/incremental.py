@@ -411,6 +411,7 @@ def _partition_granular_upsert(
         )
         storage.write_table_partitions(
             blocks_part, "blocks", ["bucket"], touched_buckets, stage="blocks",
+            write_options=B.BLOCKS_WRITE_OPTIONS,
         )
 
         # ---- docs + stats ------------------------------------------------
